@@ -1,0 +1,153 @@
+"""Core edge-table model and graph utilities.
+
+The universal interchange record is the COO edge row
+``(src: long, dst: long, weight: double)`` — the Spark analog of the
+reference's ``struct Edge { long head; long tail; double weight; }``
+(/root/reference/louvainmod/include/xilinxlouvain.h:128-137). Graphs are
+stored undirected-once (src < dst canonical orientation) and symmetrized on
+demand; there is never a global in-memory CSR — per-partition CSR blocks
+are built inside Arrow UDFs where an algorithm needs them (see
+operators/pagerank.py).
+
+Scale notes (100 TB): every helper here is a pure DataFrame expression, so
+filters/projections push down to the parquet/Iceberg scan and joins go
+through AQE. ``degrees`` uses plain hash aggregation (map-side partial
+aggregation handles hub skew); callers that aggregate *values* onto hub
+vertices should use ``salted_sum`` below.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+EDGE_COLS = ("src", "dst", "weight")
+
+
+def canonicalize(edges: DataFrame) -> DataFrame:
+    """Orient each undirected edge as src<dst, drop self-loops, sum parallel
+    edge weights (the ``removeEdges`` dedup analog,
+    /root/reference/grappolo (defs.h:151))."""
+    e = edges.select(
+        F.least("src", "dst").alias("src"),
+        F.greatest("src", "dst").alias("dst"),
+        F.col("weight").cast("double").alias("weight"),
+    ).filter(F.col("src") != F.col("dst"))
+    return e.groupBy("src", "dst").agg(F.sum("weight").alias("weight"))
+
+
+def symmetrize(edges: DataFrame) -> DataFrame:
+    """Undirected view: every edge appears in both directions (the
+    reference stores every edge twice in CSR adjacency,
+    /root/reference/louvainmod/include/xilinxlouvainInternal.h:88).
+    Input must be canonical (src<dst, no dups)."""
+    return edges.select("src", "dst", "weight").union(
+        edges.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"
+        )
+    )
+
+
+def vertices(edges: DataFrame) -> DataFrame:
+    """Distinct vertex ids appearing in the edge table."""
+    return (
+        edges.select(F.col("src").alias("vid"))
+        .union(edges.select(F.col("dst").alias("vid")))
+        .distinct()
+    )
+
+
+def degrees(edges_sym: DataFrame) -> DataFrame:
+    """Per-vertex degree + weighted degree over a symmetrized edge table
+    (``sumVertexDegree`` analog,
+    /root/reference/grappolo/src/utilityClusteringFunctions.cpp:46-59)."""
+    return edges_sym.groupBy(F.col("src").alias("vid")).agg(
+        F.count("*").alias("degree"),
+        F.sum("weight").alias("wdegree"),
+    )
+
+
+def degree_stats(edges_sym: DataFrame) -> DataFrame:
+    """Global NV/NE/min/max/avg degree report
+    (``displayGraphCharacteristics`` analog,
+    /root/reference/grappolo/src/utilityFunctions.cpp:75)."""
+    d = degrees(edges_sym)
+    return d.agg(
+        F.count("*").alias("n_vertices"),
+        (F.sum("degree") / F.lit(2)).cast("long").alias("n_edges"),
+        F.min("degree").alias("min_degree"),
+        F.max("degree").alias("max_degree"),
+        (F.sum("degree") / F.count("*")).alias("avg_degree"),
+    )
+
+
+def isolate_vertices(edges: DataFrame, removed: DataFrame) -> DataFrame:
+    """Remove a vertex set from the graph (``GraphCSR::isolateVertex``
+    analog, /root/reference/mis/include/xilinxmis.hpp:86-106): anti-join on
+    both endpoints."""
+    r = removed.select(F.col(removed.columns[0]).alias("vid"))
+    return edges.join(r, edges.src == r.vid, "left_anti").join(
+        r, edges.dst == r.vid, "left_anti"
+    )
+
+
+def subgraph_range(edges: DataFrame, lo: int, hi: int) -> DataFrame:
+    """Contiguous vertex-range slice (``CreateSubG``/``sim_getServerPar``
+    analog, /root/reference/louvainmod/src/partitionLouvain.cpp:386) —
+    pure predicate, so Catalyst partition-prunes the scan."""
+    return edges.filter(F.col("src").between(lo, hi - 1) & F.col("dst").between(lo, hi - 1))
+
+
+def vertex_following(edges_canon: DataFrame) -> DataFrame:
+    """Collapse degree-1 vertices into their single neighbor
+    (``vertexFollowing`` pre-pass analog,
+    /root/reference/grappolo/src/vertexFollowing.cpp:46-88). Returns a
+    mapping (vid, rep) where rep is the vertex it merges into (rep==vid for
+    vertices that stay)."""
+    sym = symmetrize(edges_canon)
+    deg = sym.groupBy(F.col("src").alias("vid")).agg(
+        F.count("*").alias("degree"), F.min("dst").alias("only_neighbor")
+    )
+    return deg.select(
+        "vid",
+        F.when(F.col("degree") == 1, F.col("only_neighbor"))
+        .otherwise(F.col("vid"))
+        .alias("rep"),
+    )
+
+
+def salted_sum(
+    df: DataFrame, key: str, value: str, out: str, salt_buckets: int = 32
+) -> DataFrame:
+    """Two-stage salted aggregation for skewed keys: partial sum on
+    (key, salt) then final sum on key. This is the engine's replacement for
+    the reference's ghost pruning (bounding per-vertex cross-partition
+    traffic, /root/reference/louvainmod/src/partitionLouvain.cpp:988-1110):
+    instead of dropping hub neighbors we split the hub's incoming stream
+    across ``salt_buckets`` reducers and combine.
+    """
+    salted = df.withColumn("_salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets)))
+    partial = salted.groupBy(key, "_salt").agg(F.sum(value).alias("_partial"))
+    return partial.groupBy(key).agg(F.sum("_partial").alias(out))
+
+
+def copurchase_edges(lineitem: DataFrame) -> DataFrame:
+    """Derive the engine's benchmark graph from the driver's ``lineitem``
+    table: parts are vertices; an undirected edge (a,b), a<b, connects two
+    parts that appear in the same order, weighted by co-occurrence count.
+
+    This is the relational 'link extraction' the reference does with file
+    parsers (SURVEY.md §2.1) — expressed as a self-equi-join so it is
+    DuckDB-oracle-checkable. The self-join shuffles on l_orderkey (the
+    natural key); at 100 TB the lineitem table would be bucketed by
+    l_orderkey so this join is co-located and shuffle-free.
+    """
+    a = lineitem.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src")
+    )
+    b = lineitem.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst")
+    )
+    pairs = a.join(b, "ok").filter(F.col("src") < F.col("dst"))
+    return pairs.groupBy("src", "dst").agg(
+        F.count("*").cast("double").alias("weight")
+    )

@@ -1,0 +1,84 @@
+"""Synchronous label propagation (community detection).
+
+The Louvain move rule stripped of the modularity term: each vertex adopts
+the label with the maximum total incident edge weight among its neighbors,
+with the reference's deterministic tie rules — higher weight wins, equal
+weight → smaller label id (argmax tie-breaking per
+/root/reference/grappolo/src/utilityClusteringFunctions.cpp:115-151 and the
+GSQL MaxAccum<move> encoding in
+/root/reference/plugin/tigergraph/comdetect/examples/comdetect/query/louvain_distributed_q_cpu.gsql:77-95).
+
+Synchronous (Jacobi) sweeps make the iteration race-free without the
+reference's graph coloring (SURVEY.md §4); determinism comes entirely from
+the total-order tie rule, encoded as ``max(struct(weight, -label))`` so a
+single hash aggregation resolves the argmax (no window sort needed).
+
+Scale: per sweep = one join on the persisted symmetrized edge table + one
+aggregation keyed by (dst). Hub skew is absorbed by map-side partial
+aggregation of the struct-max (max is algebraic).
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from graphanalytics_spark.graph import symmetrize
+
+
+def label_propagation(
+    spark: SparkSession,
+    edges_canon: DataFrame,
+    max_iter: int = 20,
+    checkpoint_every: int = 5,
+    partitions: int | None = None,
+    metrics=None,
+) -> DataFrame:
+    """Returns DataFrame(vid: long, label: long). Labels initialized to
+    vid; converges when no label changes in a sweep or max_iter reached."""
+    sym = symmetrize(edges_canon)
+    if partitions:
+        sym = sym.repartition(partitions, "src")
+    sym = sym.persist()
+    n_edges = sym.count()
+
+    state = (
+        sym.select(F.col("src").alias("vid"))
+        .distinct()
+        .select("vid", F.col("vid").alias("label"))
+        .persist()
+    )
+
+    for it in range(1, max_iter + 1):
+        t0 = time.monotonic()
+        # gather: per (vertex, neighbor-label) summed weight, then argmax
+        # with ties to the smaller label via max(struct(w, -label)).
+        nbr = (
+            sym.join(state, sym.src == state.vid)
+            .groupBy(F.col("dst").alias("v"), F.col("label").alias("nlabel"))
+            .agg(F.sum("weight").alias("w"))
+        )
+        best = nbr.groupBy(F.col("v").alias("vid")).agg(
+            F.max(F.struct(F.col("w"), (-F.col("nlabel")).alias("neg"))).alias("m")
+        ).select("vid", (-F.col("m.neg")).alias("new_label"))
+        new_state = (
+            state.join(best, "vid", "left")
+            .select(
+                "vid",
+                F.coalesce("new_label", "label").alias("label"),
+                (F.coalesce("new_label", "label") != F.col("label")).alias("changed"),
+            )
+        )
+        if checkpoint_every and it % checkpoint_every == 0:
+            new_state = new_state.localCheckpoint(eager=False)
+        new_state = new_state.persist()
+        n_changed = new_state.filter("changed").count()
+        state.unpersist()
+        state = new_state.drop("changed")
+        if metrics is not None:
+            metrics.add(it, float(n_changed), n_edges, time.monotonic() - t0)
+        if n_changed == 0:
+            break
+    sym.unpersist()
+    return state.select("vid", "label")

@@ -1,0 +1,61 @@
+"""n-hop traversal: iterated frontier expansion.
+
+The reference's nHop kernel batches (src,dst) pairs through hash-probe
+adjacency expansion (/root/reference/L2/nHop/kernel/nHop_kernel.cpp:78);
+the NebulaGraph tutorial surface is ``GO n STEPS`` / ``GET SUBGRAPH``
+(/root/reference/nebula-get_started.ipynb). In Spark both are the same
+semi-join frontier loop: frontier ⋈ edges on src, n times.
+
+Scale: the frontier is usually far smaller than the graph, so Catalyst
+broadcasts it against the persisted edge table; dedup per hop keeps the
+frontier minimal (BFS semantics, not walk counting).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from graphanalytics_spark.graph import symmetrize
+
+
+def n_hop(
+    spark: SparkSession,
+    edges_canon: DataFrame,
+    seeds: DataFrame,
+    hops: int,
+    directed: bool = False,
+) -> DataFrame:
+    """Vertices reachable within ``hops`` hops of each seed.
+
+    seeds: DataFrame with a vertex-id first column. Returns
+    DataFrame(seed: long, vid: long, hop: int) — hop = shortest hop count
+    (0 for the seed itself).
+    """
+    adj = (
+        edges_canon.select("src", "dst")
+        if directed
+        else symmetrize(edges_canon).select("src", "dst")
+    ).persist()
+
+    reached = seeds.select(
+        F.col(seeds.columns[0]).alias("seed"),
+        F.col(seeds.columns[0]).alias("vid"),
+        F.lit(0).alias("hop"),
+    ).persist()
+    frontier = reached
+
+    for h in range(1, hops + 1):
+        expanded = (
+            frontier.join(adj, frontier.vid == adj.src)
+            .select("seed", F.col("dst").alias("vid"), F.lit(h).alias("hop"))
+            .distinct()
+        )
+        new_frontier = expanded.join(
+            reached.select("seed", "vid"), ["seed", "vid"], "left_anti"
+        ).persist()
+        if new_frontier.isEmpty():
+            break
+        reached = reached.union(new_frontier).persist()
+        frontier = new_frontier
+    adj.unpersist()
+    return reached

@@ -1,0 +1,73 @@
+"""Exact triangle counting via degree-ordered edge orientation.
+
+The neighborhood-intersection pattern of the reference's nHop/MIS kernels
+(/root/reference/L2/nHop/kernel/nHop_kernel.cpp:78, adjacency hash-probe)
+re-expressed as the classic two-join plan:
+
+1. Orient every undirected edge u—v as u→v iff (deg(u), u) < (deg(v), v).
+   This bounds every vertex's out-degree by O(sqrt(m)), so the wedge join
+   below cannot blow up on hub vertices — the same skew concern the
+   reference handles with ghost pruning, solved structurally here.
+2. Wedges: A(u,v) ⋈ A(v,w) on v — each wedge (u,v,w) has u<v<w in the
+   degree order.
+3. Close: semi-join wedges against A on (u,w). Each triangle is counted
+   exactly once.
+
+Both the global count and per-vertex counts (each triangle credited to its
+three corners) are exact — BASELINE.json requires exact match.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from graphanalytics_spark.graph import symmetrize
+
+
+def _oriented(edges_canon: DataFrame) -> DataFrame:
+    """Orient canonical undirected edges by (degree, id) total order."""
+    sym = symmetrize(edges_canon)
+    deg = sym.groupBy(F.col("src").alias("vid")).agg(F.count("*").alias("deg"))
+    e = (
+        edges_canon.select("src", "dst")
+        .join(deg.withColumnRenamed("vid", "src").withColumnRenamed("deg", "dsrc"), "src")
+        .join(deg.withColumnRenamed("vid", "dst").withColumnRenamed("deg", "ddst"), "dst")
+    )
+    lower_first = (F.col("dsrc") < F.col("ddst")) | (
+        (F.col("dsrc") == F.col("ddst")) & (F.col("src") < F.col("dst"))
+    )
+    return e.select(
+        F.when(lower_first, F.col("src")).otherwise(F.col("dst")).alias("a"),
+        F.when(lower_first, F.col("dst")).otherwise(F.col("src")).alias("b"),
+    )
+
+
+def _triangles(edges_canon: DataFrame) -> DataFrame:
+    """All triangles as (x, y, z) corner triples (each exactly once)."""
+    a = _oriented(edges_canon).persist()
+    e1 = a.select(F.col("a").alias("u"), F.col("b").alias("v"))
+    e2 = a.select(F.col("a").alias("v"), F.col("b").alias("w"))
+    wedges = e1.join(e2, "v").select("u", "v", "w")
+    closing = a.select(F.col("a").alias("u"), F.col("b").alias("w"))
+    tri = wedges.join(closing, ["u", "w"], "left_semi")
+    return tri
+
+
+def triangle_count(spark: SparkSession, edges_canon: DataFrame) -> DataFrame:
+    """Global exact triangle count: DataFrame(n_triangles: long)."""
+    return _triangles(edges_canon).agg(F.count("*").alias("n_triangles"))
+
+
+def triangle_count_per_vertex(
+    spark: SparkSession, edges_canon: DataFrame
+) -> DataFrame:
+    """Per-vertex exact triangle counts: DataFrame(vid, n_triangles).
+    Vertices in no triangle are omitted (join against the vertex table to
+    zero-fill if needed)."""
+    tri = _triangles(edges_canon)
+    corners = (
+        tri.select(F.col("u").alias("vid"))
+        .union(tri.select(F.col("v").alias("vid")))
+        .union(tri.select(F.col("w").alias("vid")))
+    )
+    return corners.groupBy("vid").agg(F.count("*").alias("n_triangles"))
