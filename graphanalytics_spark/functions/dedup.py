@@ -1,0 +1,262 @@
+"""Document deduplication operators for training-data pipelines.
+
+Four tiers, all shuffle-lean and expressed over the ``documents`` table
+(doc_id, text, ...):
+
+- ``exact_dedup`` — hash-groupBy on sha256(text): one aggregation, the
+  canonical first pass at any corpus scale.
+- ``ngram_jaccard_pairs`` — exact n-gram (word-shingle) Jaccard via an
+  inverted-index self-join on shingles: explode → distinct → join on
+  shingle → pair-count / union-size. Exact but quadratic within a shingle
+  bucket; at 100 TB you run it only on MinHash-LSH candidates.
+- ``minhash_lsh_pairs`` — MinHash signatures banded into LSH buckets;
+  candidate pairs share ≥1 band. The universal near-dup scale path: cost
+  is linear in corpus size + bucket-local pair generation.
+- ``simhash`` — 64-bit SimHash fingerprints (sign of weighted hyperplane
+  sums over token hashes); near-dups differ in few bits. One pass, no
+  joins; pairs found by banding the fingerprint.
+
+Hashes are md5-derived (first 15 hex chars → int) so the DuckDB oracle can
+reproduce them bit-for-bit; everything stays in built-in SQL expressions
+(higher-order array functions) — no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+# Mersenne-prime modulus keeps (a*h+b) % P well distributed; constants are
+# fixed so runs (and the DuckDB oracle) are reproducible. Shingle hashes are
+# 32-bit (8 md5 hex chars) and multipliers < 2^30, so a*h + b < 2^63 —
+# no int64 overflow under ANSI arithmetic.
+_MERSENNE = (1 << 61) - 1
+_MINHASH_A = [1073741789, 536870909, 268435399, 134217689, 67108859,
+              33554393, 16777213, 8388593, 4194301, 2097143,
+              1048573, 524287, 262139, 131071, 65521, 32749]
+_MINHASH_B = [998244353, 1000000007, 754974721, 167772161, 469762049,
+              104857601, 919999999, 377777777, 212345677, 87654321,
+              192837465, 564738291, 102938475, 678901234, 43210987, 13579]
+
+
+def normalized_text(col):
+    """Lowercase, collapse whitespace — the canonical text key."""
+    return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+
+
+def exact_dedup(spark: SparkSession, docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact duplicate groups by sha256 of normalized text: returns
+    (content_hash, keep_doc_id = min doc_id, n_dupes)."""
+    h = F.sha2(normalized_text(F.col(text_col)), 256)
+    return (
+        docs.select(F.col("doc_id"), h.alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_dupes"))
+    )
+
+
+def shingles_expr(text_col, n: int = 3):
+    """Distinct word n-gram shingles as an array<string> column: tokens via
+    regexp extraction, shingle i = tokens[i..i+n-1] joined by space."""
+    toks = F.regexp_extract_all(normalized_text(text_col), F.lit(r"\S+"), 0)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1)))
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    return F.array_distinct(sh)
+
+
+def shingle_table(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
+    """(doc_id, shingle) exploded distinct-shingle table."""
+    return docs.select(
+        "doc_id", F.explode(shingles_expr(F.col(text_col), n)).alias("shingle")
+    )
+
+
+def ngram_jaccard_pairs(
+    spark: SparkSession,
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact shingle-Jaccard similar pairs (a < b): inverted-index
+    self-join. Returns (doc_a, doc_b, jaccard ≥ threshold), jaccard rounded
+    to 6 decimals."""
+    st = shingle_table(docs, n, text_col)
+    sizes = st.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = st.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = st.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    jac = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_inter")
+                / (F.col("na") + F.col("nb") - F.col("n_inter")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    return jac.filter(F.col("jaccard") >= threshold)
+
+
+def _shingle_hash(shingle_col):
+    """md5(shingle) → first 8 hex chars → int64 (32 bits). Reproducible in
+    any engine with md5 + hex parsing; 32 bits keeps the minhash affine
+    transform inside int64."""
+    return F.conv(F.substring(F.md5(shingle_col), 1, 8), 16, 10).cast("long")
+
+
+def minhash_signatures(
+    docs: DataFrame, n: int = 3, num_perm: int = 16, text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, sig: array<long>[num_perm]) — sig[i] = min over shingles of
+    (a_i·h + b_i) mod M61 where h = md5-derived shingle hash."""
+    assert num_perm <= len(_MINHASH_A)
+    st = shingle_table(docs, n, text_col).select(
+        "doc_id", _shingle_hash(F.col("shingle")).alias("h")
+    )
+    mins = st.groupBy("doc_id").agg(
+        *[
+            F.min(
+                (F.col("h") * F.lit(_MINHASH_A[i]) + F.lit(_MINHASH_B[i]))
+                % F.lit(_MERSENNE)
+            ).alias(f"m{i}")
+            for i in range(num_perm)
+        ]
+    )
+    return mins.select(
+        "doc_id", F.array(*[F.col(f"m{i}") for i in range(num_perm)]).alias("sig")
+    )
+
+
+def minhash_lsh_pairs(
+    spark: SparkSession,
+    docs: DataFrame,
+    n: int = 3,
+    num_perm: int = 16,
+    bands: int = 4,
+    text_col: str = "text",
+) -> DataFrame:
+    """Candidate near-duplicate pairs (doc_a < doc_b) sharing at least one
+    LSH band bucket (rows per band = num_perm // bands). Follow with
+    ``ngram_jaccard_pairs`` on the candidates for exact filtering."""
+    rows = num_perm // bands
+    sigs = minhash_signatures(docs, n, num_perm, text_col)
+    banded = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            ",", *[F.col("sig")[b * rows + r].cast("string") for r in range(rows)]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    l = banded.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
+    r = banded.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
+    return (
+        l.join(r, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def simhash(
+    docs: DataFrame, bits: int = 64, text_col: str = "text"
+) -> DataFrame:
+    """64-bit SimHash over unigram tokens: bit j of the fingerprint is the
+    sign of Σ_tokens (±1 depending on bit j of md5-hash(token)).
+
+    Implemented as exploded token hashes → per-(doc, bit) vote sums →
+    fingerprint assembly; all built-in expressions.
+    """
+    toks = F.explode(
+        F.array_distinct(
+            F.regexp_extract_all(normalized_text(F.col(text_col)), F.lit(r"\S+"), 0)
+        )
+    ).alias("tok")
+    # full 64-bit token hash from two md5 halves (bitwise assembly — no
+    # arithmetic, so no ANSI overflow)
+    md5c = F.md5(F.col("tok"))
+    h64 = F.shiftleft(
+        F.conv(F.substring(md5c, 1, 8), 16, 10).cast("long"), 32
+    ).bitwiseOR(F.conv(F.substring(md5c, 9, 8), 16, 10).cast("long"))
+    th = docs.select("doc_id", toks).select("doc_id", h64.alias("h"))
+    votes = th.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), j).bitwiseAND(1) == 1, 1).otherwise(-1)
+            ).alias(f"v{j}")
+            for j in range(bits)
+        ]
+    )
+    fp = None
+    for j in range(bits):
+        bit = F.when(F.col(f"v{j}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, j)
+        fp = term if fp is None else fp.bitwiseOR(term)
+    return votes.select("doc_id", fp.alias("simhash"))
+
+
+def simhash_near_pairs(
+    spark: SparkSession,
+    docs: DataFrame,
+    max_hamming: int = 3,
+    bands: int = 4,
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup pairs by SimHash: band the 64-bit fingerprint into
+    ``bands`` chunks (pigeonhole: hamming ≤ bands−1 ⇒ some chunk equal),
+    join on equal chunks, verify hamming distance ≤ max_hamming via
+    bit_count (built-in)."""
+    fp = simhash(docs, 64, text_col)
+    chunk = 64 // bands
+    banded = fp.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("simhash"), b * chunk)
+                        .bitwiseAND((1 << chunk) - 1)
+                        .alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", F.col("simhash"), "bb.band", "bb.bucket")
+    l = banded.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("fa"), "band", "bucket"
+    )
+    r = banded.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("fb"), "band", "bucket"
+    )
+    pairs = (
+        l.join(r, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "fa", "fb")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("fa").bitwiseXOR(F.col("fb")))
+    return pairs.select("doc_a", "doc_b", ham.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )

@@ -1,0 +1,98 @@
+"""Vertex-state checkpointing with per-partition lineage — mid-run resume.
+
+The SaveGLVBin/LoadGLVBin + .par.proj analog
+(/root/reference/louvainmod/src/ParLV.cpp:398-434;
+/root/reference/louvainmod/src/xilinxlouvain.cpp:270): the reference
+serializes graph + vertex state + quality metric per partition and a
+project file tying partitions to servers. Here each snapshot is a parquet
+vertex-state table plus a ``_lineage.json`` sidecar carrying iteration
+number, per-partition row counts, the convergence metric, and wall time —
+enough to resume an interrupted PageRank/CC/LP run from the latest
+snapshot and to audit convergence history.
+
+Iceberg note: on a cluster with the Iceberg runtime these snapshots map
+1:1 onto Iceberg table snapshots (lineage = snapshot summary properties);
+this module keeps the same semantics on a plain filesystem so the sandbox
+(no Iceberg jar) exercises identical code paths.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+class CheckpointManager:
+    """Writes snapshots every ``every`` iterations under
+    ``root/iter=NNNNN/`` with a lineage sidecar; ``latest()`` finds the
+    newest complete snapshot for resume."""
+
+    def __init__(self, spark: SparkSession, root: str, every: int = 5):
+        self.spark = spark
+        self.root = root
+        self.every = every
+        os.makedirs(root, exist_ok=True)
+
+    def _dir(self, iteration: int) -> str:
+        return os.path.join(self.root, f"iter={iteration:05d}")
+
+    def save(self, iteration: int, state: DataFrame, metric: float) -> str:
+        t0 = time.monotonic()
+        path = self._dir(iteration)
+        state.write.mode("overwrite").parquet(path)
+        per_part = (
+            self.spark.read.parquet(path)
+            .groupBy(F.spark_partition_id().alias("partition"))
+            .count()
+            .collect()
+        )
+        lineage = {
+            "iteration": iteration,
+            "metric": metric,
+            "rows_per_partition": {str(r["partition"]): r["count"] for r in per_part},
+            "n_rows": sum(r["count"] for r in per_part),
+            "wall_s": time.monotonic() - t0,
+            "schema": state.schema.json(),
+            "complete": True,
+        }
+        with open(os.path.join(path, "_lineage.json"), "w") as f:
+            json.dump(lineage, f, indent=2)
+        return path
+
+    def maybe_save(self, iteration: int, state: DataFrame, metric: float):
+        if self.every and iteration % self.every == 0:
+            return self.save(iteration, state, metric)
+        return None
+
+    def snapshots(self) -> list[dict]:
+        out = []
+        if not os.path.isdir(self.root):
+            return out
+        for d in sorted(os.listdir(self.root)):
+            lp = os.path.join(self.root, d, "_lineage.json")
+            if os.path.exists(lp):
+                with open(lp) as f:
+                    out.append(json.load(f))
+        return out
+
+    def latest(self) -> dict | None:
+        snaps = [s for s in self.snapshots() if s.get("complete")]
+        return snaps[-1] if snaps else None
+
+    def load(self, iteration: int | None = None) -> tuple[DataFrame, dict] | None:
+        """Load the given (or latest) snapshot: (state DataFrame, lineage)."""
+        if iteration is None:
+            lin = self.latest()
+            if lin is None:
+                return None
+        else:
+            lp = os.path.join(self._dir(iteration), "_lineage.json")
+            if not os.path.exists(lp):
+                return None
+            with open(lp) as f:
+                lin = json.load(f)
+        df = self.spark.read.parquet(self._dir(lin["iteration"]))
+        return df, lin

@@ -1,0 +1,1 @@
+"""Graph file-format sources and sinks (SURVEY.md §2.1)."""

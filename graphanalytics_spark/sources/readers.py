@@ -1,0 +1,155 @@
+"""Graph file-format readers → canonical edge DataFrame (src, dst, weight).
+
+Spark-first restatements of the reference's parser suite
+(/root/reference/grappolo/src/parseInputFiles.cpp, dispatch in
+driverForGraphClustering.cpp:76-118): each reader is a ``spark.read``
+pipeline — text/csv scan, comment/header filtering, column casts — so
+Catalyst handles splitting, predicate pushdown, and parallel ingest of
+arbitrarily large files (the reference parsers are single-threaded fscanf
+loops; Spark's text source splits by HDFS block).
+
+All readers return directed/raw edges; pipe through
+``graph.canonicalize`` for the undirected-once form.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def _split_cols(df, n):
+    parts = F.split(F.trim(F.col("value")), r"\s+")
+    return df.select(*[parts.getItem(i).alias(f"c{i}") for i in range(n)])
+
+
+def read_matrix_market(spark: SparkSession, path: str, one_based: bool = True) -> DataFrame:
+    """MatrixMarket coordinate format: '%' comments, first non-comment line
+    is the size header, then 'row col [weight]' lines; symmetric files are
+    expanded by the caller via graph.symmetrize. Pattern files (no weight)
+    get weight 1.0; weights pass through fabs() like the reference's
+    symmetric branch (parse_MatrixMarket_Sym_AsGraph)."""
+    raw = spark.read.text(path).filter(~F.col("value").startswith("%"))
+    # drop the size-header row: exactly the first remaining line; identify
+    # it by zipping an index within the file order (monotonic per split —
+    # a tiny driver-side trim keeps the scan distributed for the rest).
+    first = raw.limit(1)
+    body = raw.subtract(first)
+    c = _split_cols(body, 3)
+    off = 1 if one_based else 0
+    return c.select(
+        (F.col("c0").cast("long") - off).alias("src"),
+        (F.col("c1").cast("long") - off).alias("dst"),
+        F.abs(F.coalesce(F.col("c2").cast("double"), F.lit(1.0))).alias("weight"),
+    )
+
+
+def read_pajek(spark: SparkSession, path: str) -> DataFrame:
+    """Pajek format (*Vertices N / *Edges then 1-based edge lines) — the
+    header style of the reference's .mtx test fixtures
+    (/root/reference/louvainmod/tests/small.mtx:1-2)."""
+    raw = spark.read.text(path)
+    body = raw.filter(
+        ~F.lower(F.col("value")).startswith("*")
+        & ~F.col("value").startswith("%")
+        & (F.trim(F.col("value")) != "")
+    )
+    c = _split_cols(body, 3)
+    return c.select(
+        (F.col("c0").cast("long") - 1).alias("src"),
+        (F.col("c1").cast("long") - 1).alias("dst"),
+        F.abs(F.coalesce(F.col("c2").cast("double"), F.lit(1.0))).alias("weight"),
+    )
+
+
+def read_snap(spark: SparkSession, path: str) -> DataFrame:
+    """SNAP edge list: '#' comments, 'src dst' per line, 0-based."""
+    raw = spark.read.text(path).filter(
+        ~F.col("value").startswith("#") & (F.trim(F.col("value")) != "")
+    )
+    c = _split_cols(raw, 2)
+    return c.select(
+        F.col("c0").cast("long").alias("src"),
+        F.col("c1").cast("long").alias("dst"),
+        F.lit(1.0).alias("weight"),
+    )
+
+
+def read_edge_list(
+    spark: SparkSession, path: str, weighted: bool = True, sep: str = r"\s+"
+) -> DataFrame:
+    """Plain (possibly doubled) edge list 'src dst [w]'
+    (parse_DoulbedEdgeList analog)."""
+    raw = spark.read.text(path).filter(F.trim(F.col("value")) != "")
+    c = _split_cols(raw, 3 if weighted else 2)
+    w = (
+        F.abs(F.coalesce(F.col("c2").cast("double"), F.lit(1.0)))
+        if weighted
+        else F.lit(1.0)
+    )
+    return c.select(
+        F.col("c0").cast("long").alias("src"),
+        F.col("c1").cast("long").alias("dst"),
+        w.alias("weight"),
+    )
+
+
+def read_dimacs9(spark: SparkSession, path: str) -> DataFrame:
+    """DIMACS-9 ('a src dst weight' arc lines; 'c' comments, 'p' problem
+    line) — parse_Dimacs9FormatDirectedNewD analog; 1-based ids."""
+    raw = spark.read.text(path).filter(F.col("value").startswith("a "))
+    c = _split_cols(raw, 4)
+    return c.select(
+        (F.col("c1").cast("long") - 1).alias("src"),
+        (F.col("c2").cast("long") - 1).alias("dst"),
+        F.abs(F.coalesce(F.col("c3").cast("double"), F.lit(1.0))).alias("weight"),
+    )
+
+
+def read_metis(spark: SparkSession, path: str) -> DataFrame:
+    """Metis/DIMACS#10 adjacency format: line i (1-based, after the header)
+    lists the neighbors of vertex i. Needs line numbers → zipWithIndex via
+    a small RDD step (inherently line-ordered format), then posexplode of
+    the adjacency tokens — the only reader that can't be purely declarative.
+    """
+    lines = spark.sparkContext.textFile(path).zipWithIndex()
+    df = spark.createDataFrame(lines, "value string, lineno long")
+    body = df.filter(
+        (F.col("lineno") > 0)
+        & ~F.col("value").startswith("%")
+        & (F.trim(F.col("value")) != "")
+    )
+    toks = F.split(F.trim(F.col("value")), r"\s+")
+    return (
+        body.select(
+            (F.col("lineno") - 1).alias("src"), F.explode(toks).alias("dst_s")
+        )
+        .filter(F.col("dst_s") != "")
+        .select(
+            "src",
+            (F.col("dst_s").cast("long") - 1).alias("dst"),
+            F.lit(1.0).alias("weight"),
+        )
+    )
+
+
+def read_csr_binary(
+    spark: SparkSession, row_ptr_path: str, col_idx_path: str
+) -> DataFrame:
+    """Raw little-endian int32 rowPtr.bin/colIdx.bin CSR pair — the MIS
+    demo's input format (/root/reference/mis/examples/python/misdemo.py:24).
+
+    The format is a single unsplittable binary per array (the reference
+    caps it at 2^26 vertices per file, xilinxlouvainInternal.h:44), so the
+    frombuffer decode is a one-shot numpy step; the resulting COO enters
+    Spark through the Arrow createDataFrame path and every downstream op
+    is distributed."""
+    import numpy as np
+    import pandas as pd
+
+    rp = np.fromfile(row_ptr_path, dtype="<i4")
+    ci = np.fromfile(col_idx_path, dtype="<i4")
+    src = np.repeat(np.arange(len(rp) - 1, dtype=np.int64), np.diff(rp))
+    pdf = pd.DataFrame(
+        {"src": src, "dst": ci.astype(np.int64), "weight": np.ones(len(ci))}
+    )
+    return spark.createDataFrame(pdf)
