@@ -1,38 +1,713 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Every entry in ``queries()`` is an operator of graphanalytics_spark
+(SURVEY.md §2) run against the driver's parquet tables; ``oracle_sql()``
+holds the DuckDB-equivalent SQL. Cross-engine float discipline:
+aggregated doubles go through exact DECIMAL sums (cast back to double) or
+fixed-decimal rounding; top-K queries carry total-order tie-breaks.
+
+Graph queries derive a part co-purchase graph from ``lineitem``
+(parts sharing an order; weight = co-occurrence count) — the relational
+analog of the reference's file parsers feeding its edge lists
+(/root/reference/grappolo/src/parseInputFiles.cpp). The *sparse* variant
+(weight ≥ 2) has nontrivial component structure.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
 
+from graphanalytics_spark import graph
+from graphanalytics_spark.functions import dedup, fuzzymatch, similarity, text
+from graphanalytics_spark.operators import (
+    components,
+    labelprop,
+    mis,
+    nhop,
+    pagerank,
+    triangles,
+)
+from graphanalytics_spark.operators.contraction import contract_graph
+
+SF_DEFAULT = "/root/testdata/sf0.001"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _graph_full(spark, sf_dir):
+    return graph.copurchase_edges(_t(spark, sf_dir, "lineitem"))
+
+
+def _graph_sparse(spark, sf_dir):
+    return _graph_full(spark, sf_dir).filter(F.col("weight") >= 2)
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: build the co-purchase graph at sf0.001, run converged
+    PageRank (1e-6), return the top-20 parts by rank with their names."""
+    edges = graph.symmetrize(_graph_full(spark, SF_DEFAULT))
+    ranks = pagerank.pagerank(spark, edges, tol=1e-6, max_iter=50)
+    part = _t(spark, SF_DEFAULT, "part").select(
+        F.col("p_partkey").alias("vid"), "p_name"
+    )
+    return (
+        ranks.join(part, "vid")
+        .select("vid", "p_name", F.round("rank", 9).alias("rank"))
+        .orderBy(F.desc("rank"), F.asc("vid"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SQL fragments shared by graph oracles
+# ---------------------------------------------------------------------------
+
+_E = """e AS (
+  SELECT a.l_partkey AS src, b.l_partkey AS dst, CAST(count(*) AS DOUBLE) AS weight
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2)"""
+_ES = _E.replace("GROUP BY 1, 2)", "GROUP BY 1, 2 HAVING count(*) >= 2)")
+_SYM = "sym AS (SELECT src, dst, weight FROM e UNION ALL SELECT dst, src, weight FROM e)"
+
+
+def _pagerank5_sql() -> str:
+    """Unrolled 5-iteration PageRank over the symmetrized full graph
+    (no dangling vertices by construction)."""
+    iters = []
+    prev = "r0"
+    for i in range(1, 6):
+        iters.append(
+            f"""r{i} AS (
+  SELECT l.dst AS vid, (SELECT base FROM c) + 0.85 * sum(l.frac * p.rank) AS rank
+  FROM links l JOIN {prev} p ON p.vid = l.src GROUP BY l.dst)"""
+        )
+        prev = f"r{i}"
+    return f"""WITH {_E}, {_SYM},
+deg AS (SELECT src, sum(weight) AS wdeg FROM sym GROUP BY src),
+links AS (SELECT s.src, s.dst, s.weight / d.wdeg AS frac
+          FROM sym s JOIN deg d ON s.src = d.src),
+v AS (SELECT DISTINCT src AS vid FROM sym),
+c AS (SELECT 0.15 / count(*) AS base, 1.0 / count(*) AS init FROM v),
+r0 AS (SELECT vid, (SELECT init FROM c) AS rank FROM v),
+{", ".join(iters)}
+SELECT vid, round(rank, 9) AS rank FROM r5"""
+
+
+_CC_SQL = f"""WITH RECURSIVE {_ES}, {_SYM},
+cc(vid, label) AS (
+  SELECT src, src FROM sym
+  UNION
+  SELECT sym.dst, cc.label FROM cc JOIN sym ON sym.src = cc.vid
+  WHERE cc.label < sym.dst
+)
+SELECT vid, min(label) AS component FROM cc GROUP BY vid"""
+
+_ORIENT_SQL = f"""{_E}, {_SYM},
+deg AS (SELECT src AS vid, count(*) AS deg FROM sym GROUP BY src),
+o AS (
+  SELECT CASE WHEN (da.deg, e.src) < (db.deg, e.dst) THEN e.src ELSE e.dst END AS a,
+         CASE WHEN (da.deg, e.src) < (db.deg, e.dst) THEN e.dst ELSE e.src END AS b
+  FROM e JOIN deg da ON da.vid = e.src JOIN deg db ON db.vid = e.dst)"""
+
+_TRI_CORNERS_SQL = f"""WITH {_ORIENT_SQL},
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM o e1 JOIN o e2 ON e1.b = e2.a
+  WHERE EXISTS (SELECT 1 FROM o e3 WHERE e3.a = e1.a AND e3.b = e2.b))"""
+
+
+def _langid_hits_sql(norm: str) -> dict[str, str]:
+    out = {}
+    for lang, words in sorted(text._LANG_MARKERS.items()):
+        parts = " + ".join(
+            f"len(regexp_extract_all({norm}, '\\b{w}\\b'))" for w in words
+        )
+        out[lang] = f"({parts})"
+    return out
+
+
+_NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+
+def _minhash_sql(num_perm: int = 16, bands: int = 4, n: int = 3) -> str:
+    rows = num_perm // bands
+    m = dedup._MERSENNE
+    mins = ", ".join(
+        f"min((h * {dedup._MINHASH_A[i]} + {dedup._MINHASH_B[i]}) % {m}) AS m{i}"
+        for i in range(num_perm)
+    )
+    band_rows = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, {bucket} AS bucket FROM sig".format(
+            b=b,
+            bucket=" || ',' || ".join(
+                f"CAST(m{b * rows + r} AS VARCHAR)" for r in range(rows)
+            ),
+        )
+        for b in range(bands)
+    )
+    return f"""WITH toks AS (
+  SELECT doc_id, regexp_split_to_array({_NORM}, '\\s+') AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+{n - 1}], ' ') AS shingle
+  FROM toks, unnest(generate_series(1, len(t) - {n - 1})) AS g(i)),
+h AS (SELECT doc_id, CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) AS h FROM sh),
+sig AS (SELECT doc_id, {mins} FROM h GROUP BY doc_id),
+bands AS ({band_rows})
+SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+FROM bands x JOIN bands y
+  ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id"""
+
+
+def _simhash_sql() -> str:
+    votes_lo = ", ".join(
+        f"sum(CASE WHEN (hlo >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(32)
+    )
+    votes_hi = ", ".join(
+        f"sum(CASE WHEN (hhi >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{32 + j}"
+        for j in range(32)
+    )
+    lo = " + ".join(f"(CASE WHEN v{j} > 0 THEN 1::BIGINT ELSE 0 END << {j})" for j in range(32))
+    hi = " + ".join(
+        f"(CASE WHEN v{32 + j} > 0 THEN 1::BIGINT ELSE 0 END << {j})" for j in range(32)
+    )
+    return f"""WITH toks AS (
+  SELECT DISTINCT doc_id, t.tok FROM documents,
+  unnest(regexp_split_to_array({_NORM}, '\\s+')) AS t(tok)),
+h AS (SELECT doc_id,
+  CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS hlo,
+  CAST(('0x' || substr(md5(tok), 9, 8)) AS BIGINT) AS hhi FROM toks),
+votes AS (SELECT doc_id, {votes_lo}, {votes_hi} FROM h GROUP BY doc_id)
+SELECT doc_id, printf('%08x%08x', {hi}, {lo}) AS simhash FROM votes"""
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def _q1(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
+    dec = lambda c: F.col(c).cast("decimal(18,6)")  # noqa: E731
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,6)"
+                )
+            )
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.round(
+                F.sum(dec("l_quantity")).cast("double") / F.count("*"), 6
+            ).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+_Q1_SQL = """SELECT l_returnflag, l_linestatus,
+  CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_qty,
+  count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus"""
+
+
+def _q3(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1998-01-01")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,6)"
+                )
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+_Q3_SQL = """SELECT o_orderkey,
+  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY o_orderkey ORDER BY revenue DESC, o_orderkey LIMIT 10"""
+
+
+def _top_parts_by_brand(spark, sf_dir):
+    part = _t(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(
+        F.desc("p_retailprice"), F.asc("p_partkey")
+    )
+    return (
+        part.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("p_brand", "p_partkey", "p_retailprice", "rn")
+    )
+
+
+_TOP_PARTS_SQL = """SELECT p_brand, p_partkey, p_retailprice, rn FROM (
+  SELECT p_brand, p_partkey, p_retailprice,
+    row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS rn
+  FROM part) WHERE rn <= 3"""
+
+
+def _customer_rollup(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_spent"),
+        )
+    )
+
+
+_CUSTOMER_ROLLUP_SQL = """SELECT c_custkey, c_mktsegment, count(*) AS n_orders,
+  CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_spent
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey, c_mktsegment"""
+
+
+def _customers_without_orders(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey")
+
+
+_CWO_SQL = """SELECT c_custkey FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)"""
+
+
+def _events_hourly(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+            "hour"
+        ),
+        "event_type",
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+    )
+
+
+_EVENTS_HOURLY_SQL = """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+  event_type, count(*) AS n_events,
+  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2"""
+
+
+def _event_sessions(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    is_new = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    return (
+        ev.withColumn("is_new", is_new)
+        .groupBy("user_id")
+        .agg(F.sum("is_new").alias("n_sessions"), F.count("*").alias("n_events"))
+    )
+
+
+_EVENT_SESSIONS_SQL = """SELECT user_id, CAST(sum(is_new) AS BIGINT) AS n_sessions, count(*) AS n_events
+FROM (
+  SELECT user_id,
+    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+           OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800
+         THEN 1 ELSE 0 END AS is_new
+  FROM events) GROUP BY user_id"""
+
+
+# --- graph queries ---
+
+def _copurchase_edges(spark, sf_dir):
+    return _graph_full(spark, sf_dir)
+
+
+_EDGES_SQL = f"WITH {_E} SELECT src, dst, weight FROM e"
+
+
+def _vertex_degrees(spark, sf_dir):
+    return graph.degrees(graph.symmetrize(_graph_full(spark, sf_dir)))
+
+
+_VDEG_SQL = f"""WITH {_E}, {_SYM}
+SELECT src AS vid, count(*) AS degree, sum(weight) AS wdegree
+FROM sym GROUP BY src"""
+
+
+def _degree_stats(spark, sf_dir):
+    s = graph.degree_stats(graph.symmetrize(_graph_full(spark, sf_dir)))
+    return s.select(
+        "n_vertices",
+        "n_edges",
+        "min_degree",
+        "max_degree",
+        F.round("avg_degree", 6).alias("avg_degree"),
+    )
+
+
+_DEGSTATS_SQL = f"""WITH {_E}, {_SYM},
+d AS (SELECT src, count(*) AS degree FROM sym GROUP BY src)
+SELECT count(*) AS n_vertices, CAST(sum(degree) / 2 AS BIGINT) AS n_edges,
+  min(degree) AS min_degree, max(degree) AS max_degree,
+  round(CAST(sum(degree) AS DOUBLE) / count(*), 6) AS avg_degree
+FROM d"""
+
+
+def _triangle_count(spark, sf_dir):
+    return triangles.triangle_count(spark, _graph_full(spark, sf_dir))
+
+
+_TRI_SQL = f"{_TRI_CORNERS_SQL} SELECT count(*) AS n_triangles FROM tri"
+
+
+def _triangles_per_vertex(spark, sf_dir):
+    return triangles.triangle_count_per_vertex(spark, _graph_full(spark, sf_dir))
+
+
+_TRI_PV_SQL = f"""{_TRI_CORNERS_SQL},
+corners AS (SELECT x AS vid FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)
+SELECT vid, count(*) AS n_triangles FROM corners GROUP BY vid"""
+
+
+def _pagerank_5iter(spark, sf_dir):
+    return pagerank.pagerank_fixed(
+        spark, graph.symmetrize(_graph_full(spark, sf_dir)), iterations=5
+    )
+
+
+def _connected_components(spark, sf_dir):
+    return components.connected_components(spark, _graph_sparse(spark, sf_dir))
+
+
+def _cc_sizes(spark, sf_dir):
+    return components.component_sizes(_connected_components(spark, sf_dir))
+
+
+_CC_SIZES_SQL = f"""WITH cc0 AS ({_CC_SQL})
+SELECT component, count(*) AS size FROM cc0 GROUP BY component"""
+
+
+def _contract_by_component(spark, sf_dir):
+    e = _graph_sparse(spark, sf_dir)
+    labels = components.connected_components(spark, e).withColumnRenamed(
+        "component", "label"
+    )
+    return contract_graph(spark, e, labels)
+
+
+_CONTRACT_SQL = f"""WITH cc0 AS ({_CC_SQL}),
+ren AS (SELECT label, CAST(dense_rank() OVER (ORDER BY label) - 1 AS BIGINT) AS cid
+        FROM (SELECT DISTINCT component AS label FROM cc0)),
+lab AS (SELECT cc0.vid, ren.cid FROM cc0 JOIN ren ON ren.label = cc0.component),
+{_ES.replace("e AS (", "e2 AS (")}
+SELECT least(ls.cid, ld.cid) AS src, greatest(ls.cid, ld.cid) AS dst,
+       sum(e2.weight) AS weight
+FROM e2 JOIN lab ls ON ls.vid = e2.src JOIN lab ld ON ld.vid = e2.dst
+GROUP BY 1, 2"""
+
+
+def _nhop_2(spark, sf_dir):
+    e = _graph_sparse(spark, sf_dir)
+    seeds = (
+        graph.vertices(e).orderBy("vid").limit(5).select(F.col("vid").alias("seed"))
+    )
+    return nhop.n_hop(spark, e, seeds, hops=2)
+
+
+_NHOP_SQL = f"""WITH {_ES}, {_SYM},
+seeds AS (SELECT vid FROM (SELECT DISTINCT src AS vid FROM sym) ORDER BY vid LIMIT 5),
+h0 AS (SELECT vid AS seed, vid, 0 AS hop FROM seeds),
+c1 AS (SELECT DISTINCT h0.seed, sym.dst AS vid FROM h0 JOIN sym ON sym.src = h0.vid),
+h1 AS (SELECT c1.seed, c1.vid, 1 AS hop FROM c1
+       LEFT JOIN h0 ON h0.seed = c1.seed AND h0.vid = c1.vid WHERE h0.seed IS NULL),
+c2 AS (SELECT DISTINCT h1.seed, sym.dst AS vid FROM h1 JOIN sym ON sym.src = h1.vid),
+h2 AS (SELECT c2.seed, c2.vid, 2 AS hop FROM c2
+       LEFT JOIN h0 ON h0.seed = c2.seed AND h0.vid = c2.vid
+       LEFT JOIN h1 ON h1.seed = c2.seed AND h1.vid = c2.vid
+       WHERE h0.seed IS NULL AND h1.seed IS NULL)
+SELECT seed, vid, hop FROM h0 UNION ALL SELECT * FROM h1 UNION ALL SELECT * FROM h2"""
+
+
+# --- documents / embeddings ---
+
+def _doc_exact_dedup(spark, sf_dir):
+    return dedup.exact_dedup(spark, _t(spark, sf_dir, "documents"))
+
+
+_DOC_DEDUP_SQL = f"""SELECT sha256({_NORM}) AS content_hash,
+  min(doc_id) AS keep_doc_id, count(*) AS n_dupes
+FROM documents GROUP BY 1"""
+
+
+def _doc_token_stats(spark, sf_dir):
+    return text.token_stats(_t(spark, sf_dir, "documents"))
+
+
+_TOKEN_STATS_SQL = f"""SELECT doc_id,
+  len(regexp_extract_all({_NORM}, '\\S+')) AS n_tokens,
+  len(regexp_extract_all({_NORM}, '[A-Za-z]+|[0-9]+|[^\\sA-Za-z0-9]')) AS n_subwords,
+  length(text) AS n_chars,
+  round(CASE WHEN len(regexp_extract_all({_NORM}, '\\S+')) > 0
+    THEN length({_NORM}) / CAST(len(regexp_extract_all({_NORM}, '\\S+')) AS DOUBLE)
+    ELSE 0.0 END, 6) AS mean_token_len
+FROM documents"""
+
+
+def _doc_quality(spark, sf_dir):
+    return text.quality_score(_t(spark, sf_dir, "documents"))
+
+
+def _doc_quality_sql():
+    hits = " + ".join(
+        f"len(regexp_extract_all({_NORM}, '\\b{w}\\b'))"
+        for w in text._LANG_MARKERS["en"]
+    )
+    return f"""SELECT doc_id, round(
+  0.4 * (CASE WHEN n_tok BETWEEN 10 AND 100000 THEN 1.0 ELSE least(n_tok / 10.0, 1.0) END)
+  + 0.3 * (1.0 - least(CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END * 5.0, 1.0))
+  + 0.3 * least(CASE WHEN n_tok > 0 THEN stop_hits / n_tok ELSE 0.0 END * 10.0, 1.0), 6) AS quality
+FROM (
+  SELECT doc_id,
+    CAST(len(regexp_extract_all({_NORM}, '\\S+')) AS DOUBLE) AS n_tok,
+    CAST(len(regexp_extract_all({_NORM}, '[^\\w\\s]')) AS DOUBLE) AS n_punct,
+    CAST(length({_NORM}) AS DOUBLE) AS n_chars,
+    CAST({hits} AS DOUBLE) AS stop_hits
+  FROM documents)"""
+
+
+def _doc_langid(spark, sf_dir):
+    return text.language_id(_t(spark, sf_dir, "documents"))
+
+
+def _doc_langid_sql():
+    hits = _langid_hits_sql(_NORM)
+    langs = sorted(hits)  # de, en, es, fr
+    cols = ", ".join(f"{hits[lang]} AS h_{lang}" for lang in langs)
+    # argmax with ties to the alphabetically-first language
+    case = "CASE "
+    for i, lang in enumerate(langs):
+        conds = " AND ".join(
+            f"h_{lang} >= h_{other}" for other in langs[i + 1 :]
+        )
+        case += f"WHEN {conds or 'TRUE'} THEN '{lang}' "
+    case += "END"
+    return f"""SELECT doc_id,
+  CASE WHEN greatest({", ".join("h_" + lang for lang in langs)}) > 0
+       THEN {case} ELSE 'und' END AS lang_pred
+FROM (SELECT doc_id, {cols} FROM documents)"""
+
+
+def _doc_fingerprint(spark, sf_dir):
+    return text.fingerprint(_t(spark, sf_dir, "documents"))
+
+
+_FP_SQL = f"SELECT doc_id, substr(md5({_NORM}), 1, 16) AS fingerprint FROM documents"
+
+
+def _doc_simhash(spark, sf_dir):
+    return dedup.simhash(_t(spark, sf_dir, "documents"), as_hex=True)
+
+
+def _ngram_jaccard(spark, sf_dir):
+    return dedup.ngram_jaccard_pairs(
+        spark, _t(spark, sf_dir, "documents"), n=3, threshold=0.5
+    )
+
+
+_JACCARD_SQL = f"""WITH toks AS (
+  SELECT doc_id, regexp_split_to_array({_NORM}, '\\s+') AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+  FROM toks, unnest(generate_series(1, len(t) - 2)) AS g(i)),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+  round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.5"""
+
+
+def _minhash_pairs(spark, sf_dir):
+    return dedup.minhash_lsh_pairs(
+        spark, _t(spark, sf_dir, "documents"), n=3, num_perm=16, bands=4
+    )
+
+
+def _fuzzy_match(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    q = docs.filter(F.col("doc_id") == 0).first()["text"]
+    pats = docs.select(F.col("doc_id").alias("id"), F.col("text").alias("pattern"))
+    return fuzzymatch.fuzzy_match(spark, pats, q, threshold=60.0)
+
+
+_FUZZY_SQL = """WITH q AS (SELECT text AS qt FROM documents WHERE doc_id = 0)
+SELECT doc_id AS id,
+  round(100.0 * (1.0 - CAST(levenshtein(text, qt) AS DOUBLE)
+        / greatest(length(text), length(qt))), 6) AS similarity
+FROM documents, q
+WHERE 100.0 * (1.0 - CAST(levenshtein(text, qt) AS DOUBLE)
+      / greatest(length(text), length(qt))) >= 60.0"""
+
+
+def _cosine_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    target = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return similarity.cosine_topk(spark, emb, target, k=20)
+
+
+_COSINE_SQL = """WITH t AS (SELECT embedding AS te FROM embeddings WHERE vec_id = 0)
+SELECT vec_id, round(
+  CASE WHEN sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) > 0
+        AND sqrt(list_dot_product(te::DOUBLE[], te::DOUBLE[])) > 0
+  THEN list_dot_product(embedding::DOUBLE[], te::DOUBLE[])
+       / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+          * sqrt(list_dot_product(te::DOUBLE[], te::DOUBLE[])))
+  ELSE 0.0 END, 8) AS sim
+FROM embeddings, t ORDER BY sim DESC, vec_id LIMIT 20"""
+
+
+def _embedding_norms(spark, sf_dir):
+    return similarity.embedding_norms(_t(spark, sf_dir, "embeddings"))
+
+
+_NORMS_SQL = """SELECT vec_id,
+  round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 8) AS norm
+FROM embeddings"""
+
+
+# --- non-SQL-expressible (rows-only check; pytest oracles in tests/) ---
+
+def _pagerank_converged(spark, sf_dir):
+    return pagerank.pagerank(
+        spark, graph.symmetrize(_graph_full(spark, sf_dir)), tol=1e-6, max_iter=60
+    ).select("vid", F.round("rank", 9).alias("rank"))
+
+
+def _label_propagation(spark, sf_dir):
+    return labelprop.label_propagation(spark, _graph_sparse(spark, sf_dir), max_iter=15)
+
+
+def _mis(spark, sf_dir):
+    return mis.maximal_independent_set(spark, _graph_sparse(spark, sf_dir))
+
+
+def _ann_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    target = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return similarity.ann_lsh_topk(spark, emb, target, k=20)
+
+
+def _ingest_edges(spark, sf_dir):
+    from graphanalytics_spark import fixtures, ingest
+
+    repos = spark.createDataFrame(fixtures.generate_repos_pdf(n_repos=50))
+    edges, _dim = ingest.build_edges(repos)
+    return edges
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": _q1,
+        "q3_top_orders": _q3,
+        "top_parts_by_brand": _top_parts_by_brand,
+        "customer_rollup": _customer_rollup,
+        "customers_without_orders": _customers_without_orders,
+        "events_hourly": _events_hourly,
+        "event_sessions": _event_sessions,
+        "copurchase_edges": _copurchase_edges,
+        "vertex_degrees": _vertex_degrees,
+        "degree_stats": _degree_stats,
+        "triangle_count": _triangle_count,
+        "triangles_per_vertex": _triangles_per_vertex,
+        "pagerank_5iter": _pagerank_5iter,
+        "connected_components": _connected_components,
+        "cc_sizes": _cc_sizes,
+        "contract_by_component": _contract_by_component,
+        "nhop_2": _nhop_2,
+        "doc_exact_dedup": _doc_exact_dedup,
+        "doc_token_stats": _doc_token_stats,
+        "doc_quality": _doc_quality,
+        "doc_langid": _doc_langid,
+        "doc_fingerprint": _doc_fingerprint,
+        "doc_simhash": _doc_simhash,
+        "ngram_jaccard_pairs": _ngram_jaccard,
+        "minhash_lsh_pairs": _minhash_pairs,
+        "fuzzy_match": _fuzzy_match,
+        "cosine_topk": _cosine_topk,
+        "embedding_norms": _embedding_norms,
+        # rows-only (iterative / non-SQL-expressible)
+        "pagerank_converged": _pagerank_converged,
+        "label_propagation": _label_propagation,
+        "mis": _mis,
+        "ann_lsh_topk": _ann_topk,
+        "ingest_edges": _ingest_edges,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": _Q1_SQL,
+        "q3_top_orders": _Q3_SQL,
+        "top_parts_by_brand": _TOP_PARTS_SQL,
+        "customer_rollup": _CUSTOMER_ROLLUP_SQL,
+        "customers_without_orders": _CWO_SQL,
+        "events_hourly": _EVENTS_HOURLY_SQL,
+        "event_sessions": _EVENT_SESSIONS_SQL,
+        "copurchase_edges": _EDGES_SQL,
+        "vertex_degrees": _VDEG_SQL,
+        "degree_stats": _DEGSTATS_SQL,
+        "triangle_count": _TRI_SQL,
+        "triangles_per_vertex": _TRI_PV_SQL,
+        "pagerank_5iter": _pagerank5_sql(),
+        "connected_components": _CC_SQL,
+        "cc_sizes": _CC_SIZES_SQL,
+        "contract_by_component": _CONTRACT_SQL,
+        "nhop_2": _NHOP_SQL,
+        "doc_exact_dedup": _DOC_DEDUP_SQL,
+        "doc_token_stats": _TOKEN_STATS_SQL,
+        "doc_quality": _doc_quality_sql(),
+        "doc_langid": _doc_langid_sql(),
+        "doc_fingerprint": _FP_SQL,
+        "doc_simhash": _simhash_sql(),
+        "ngram_jaccard_pairs": _JACCARD_SQL,
+        "minhash_lsh_pairs": _minhash_sql(),
+        "fuzzy_match": _FUZZY_SQL,
+        "cosine_topk": _COSINE_SQL,
+        "embedding_norms": _NORMS_SQL,
+    }

@@ -58,9 +58,13 @@ def shingles_expr(text_col, n: int = 3):
     """Distinct word n-gram shingles as an array<string> column: tokens via
     regexp extraction, shingle i = tokens[i..i+n-1] joined by space."""
     toks = F.regexp_extract_all(normalized_text(text_col), F.lit(r"\S+"), 0)
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1)))
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
     sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
-    return F.array_distinct(sh)
+    # guard: fewer than n tokens → no shingles (Spark's sequence(0, neg)
+    # would otherwise count downward)
+    return F.when(F.size(toks) >= n, F.array_distinct(sh)).otherwise(
+        F.array().cast("array<string>")
+    )
 
 
 def shingle_table(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
@@ -178,40 +182,57 @@ def minhash_lsh_pairs(
 
 
 def simhash(
-    docs: DataFrame, bits: int = 64, text_col: str = "text"
+    docs: DataFrame, bits: int = 64, text_col: str = "text", as_hex: bool = False
 ) -> DataFrame:
     """64-bit SimHash over unigram tokens: bit j of the fingerprint is the
     sign of Σ_tokens (±1 depending on bit j of md5-hash(token)).
 
-    Implemented as exploded token hashes → per-(doc, bit) vote sums →
-    fingerprint assembly; all built-in expressions.
+    Token bits come from two 32-bit md5 halves (bits 0-31 from hex chars
+    1-8, bits 32-63 from chars 9-16) and the fingerprint is assembled as
+    two 32-bit words — shifts never exceed 31, so the construction is
+    reproducible in engines with checked shift overflow (DuckDB oracle).
+    Output: (doc_id, simhash: long) or, with as_hex, the 16-hex-char
+    string '%08x%08x' % (hi, lo).
     """
+    assert bits == 64
     toks = F.explode(
         F.array_distinct(
             F.regexp_extract_all(normalized_text(F.col(text_col)), F.lit(r"\S+"), 0)
         )
     ).alias("tok")
-    # full 64-bit token hash from two md5 halves (bitwise assembly — no
-    # arithmetic, so no ANSI overflow)
     md5c = F.md5(F.col("tok"))
-    h64 = F.shiftleft(
-        F.conv(F.substring(md5c, 1, 8), 16, 10).cast("long"), 32
-    ).bitwiseOR(F.conv(F.substring(md5c, 9, 8), 16, 10).cast("long"))
-    th = docs.select("doc_id", toks).select("doc_id", h64.alias("h"))
-    votes = th.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.when(F.shiftright(F.col("h"), j).bitwiseAND(1) == 1, 1).otherwise(-1)
-            ).alias(f"v{j}")
-            for j in range(bits)
-        ]
+    h_lo = F.conv(F.substring(md5c, 1, 8), 16, 10).cast("long")
+    h_hi = F.conv(F.substring(md5c, 9, 8), 16, 10).cast("long")
+    th = docs.select("doc_id", toks).select(
+        "doc_id", h_lo.alias("hlo"), h_hi.alias("hhi")
     )
-    fp = None
-    for j in range(bits):
-        bit = F.when(F.col(f"v{j}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        term = F.shiftleft(bit, j)
-        fp = term if fp is None else fp.bitwiseOR(term)
-    return votes.select("doc_id", fp.alias("simhash"))
+
+    def vote(col, j):
+        return F.sum(
+            F.when(F.shiftright(col, j).bitwiseAND(1) == 1, 1).otherwise(-1)
+        )
+
+    votes = th.groupBy("doc_id").agg(
+        *[vote(F.col("hlo"), j).alias(f"v{j}") for j in range(32)],
+        *[vote(F.col("hhi"), j).alias(f"v{32 + j}") for j in range(32)],
+    )
+
+    def word(offset):
+        w = None
+        for j in range(32):
+            bit = F.when(F.col(f"v{offset + j}") > 0, F.lit(1).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+            term = F.shiftleft(bit, j)
+            w = term if w is None else w.bitwiseOR(term)
+        return w
+
+    lo, hi = word(0), word(32)
+    if as_hex:
+        out = F.format_string("%08x%08x", hi, lo)
+    else:
+        out = F.shiftleft(hi, 32).bitwiseOR(lo)
+    return votes.select("doc_id", out.alias("simhash"))
 
 
 def simhash_near_pairs(

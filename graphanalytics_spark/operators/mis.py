@@ -29,7 +29,6 @@ def maximal_independent_set(
     edges_canon: DataFrame,
     seed: int = 42,
     max_iter: int = 100,
-    checkpoint_every: int = 5,
 ) -> DataFrame:
     """Returns DataFrame(vid: long) — a maximal independent set of the
     undirected graph. Deterministic for a given seed."""
@@ -77,7 +76,11 @@ def maximal_independent_set(
             "vid",
             "left_anti",
         ).select("vid")
-        round_sel = winners.union(isolated).distinct().persist()
+        # eager localCheckpoint each round: MIS rounds stack two joins per
+        # round on the state lineage — without truncation the plan depth is
+        # quadratic in rounds and analysis time dominates (O(log n) rounds,
+        # so checkpoint cost is bounded).
+        round_sel = winners.union(isolated).distinct().localCheckpoint()
         n_sel = round_sel.count()
         if n_sel == 0:
             break
@@ -89,10 +92,7 @@ def maximal_independent_set(
             )
         )
         dead = round_sel.select("vid").union(nbrs_of_sel).distinct()
-        new_active = active.join(dead, "vid", "left_anti")
-        if checkpoint_every and it % checkpoint_every == 0:
-            new_active = new_active.localCheckpoint(eager=False)
-        new_active = new_active.persist()
+        new_active = active.join(dead, "vid", "left_anti").localCheckpoint()
         remaining = new_active.count()
         active.unpersist()
         active = new_active

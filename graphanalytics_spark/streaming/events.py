@@ -22,7 +22,24 @@ def windowed_event_counts(
     """Per-(event_type, window) counts + value sums with late-data
     watermarking — the canonical streaming aggregation shape."""
     return (
-        events.withWatermark("ts", watermark)
+        events.withColumn("ts", F.col("ts").cast("timestamp"))  # NTZ → event time
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def windowed_event_counts_batch(events: DataFrame, window: str = "1 hour") -> DataFrame:
+    """Batch twin of ``windowed_event_counts`` (no watermark — complete
+    input), used for batch-parity testing."""
+    return (
+        events.withColumn("ts", F.col("ts").cast("timestamp"))
         .groupBy(F.window("ts", window).alias("w"), "event_type")
         .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
         .select(

@@ -1,0 +1,56 @@
+"""Checkpoint/lineage/resume tests — the SaveGLVBin/LoadGLVBin analog
+(BASELINE.md: mid-run restart reproduces identical final output)."""
+
+import numpy as np
+
+from graphanalytics_spark import fixtures, graph
+from graphanalytics_spark.operators import pagerank
+from graphanalytics_spark.plans.checkpoint import CheckpointManager
+
+
+def _graph(spark):
+    # irregular: ring + chords on every third vertex + a hub, so PageRank
+    # does NOT converge immediately (a regular graph is stationary at init)
+    edges, n = [], 40
+    for i in range(n):
+        edges.append((i, (i + 1) % n))
+        if i % 3 == 0:
+            edges.append((i, (i + 7) % n))
+        if i % 5 == 0:
+            edges.append((i, 0))
+    return graph.symmetrize(
+        graph.canonicalize(fixtures.edges_df(spark, edges))
+    )
+
+
+def test_checkpoint_lineage_written(spark, tmp_path):
+    sym = _graph(spark)
+    cm = CheckpointManager(spark, str(tmp_path / "ckpt"), every=2)
+    pagerank.pagerank(spark, sym, tol=1e-6, max_iter=6, checkpointer=cm)
+    snaps = cm.snapshots()
+    assert len(snaps) >= 2
+    for s in snaps:
+        assert s["complete"] and s["n_rows"] == 40
+        assert "metric" in s and s["metric"] >= 0
+        assert sum(s["rows_per_partition"].values()) == 40
+
+
+def test_kill_and_resume_identical(spark, tmp_path):
+    """Run to convergence; run again but 'killed' after 4 iterations, then
+    resume from the latest snapshot — final ranks must match."""
+    sym = _graph(spark)
+    full = pagerank.pagerank(spark, sym, tol=1e-9, max_iter=40)
+    fd = {r.vid: r["rank"] for r in full.collect()}
+
+    cm = CheckpointManager(spark, str(tmp_path / "ckpt2"), every=2)
+    pagerank.pagerank(spark, sym, tol=1e-9, max_iter=4, checkpointer=cm)
+
+    state, lineage = cm.load()
+    assert lineage["iteration"] == 4
+    resumed = pagerank.pagerank(
+        spark, sym, tol=1e-9, max_iter=40, initial_state=state
+    )
+    rd = {r.vid: r["rank"] for r in resumed.collect()}
+    assert np.allclose(
+        [fd[i] for i in sorted(fd)], [rd[i] for i in sorted(rd)], atol=1e-8
+    )

@@ -1,0 +1,164 @@
+"""Similarity / fuzzymatch / dedup / text / multimodal function tests."""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+import pytest
+
+from graphanalytics_spark.functions import dedup, fuzzymatch, multimodal, similarity, text
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog", "en", "s", 44),
+        (1, "the quick brown fox jumps over the lazy dog", "en", "s", 44),  # exact dup
+        (2, "the quick brown fox leaps over the lazy dog", "en", "s", 44),  # near dup
+        (3, "a completely different document about graphs and spark", "en", "s", 55),
+        (4, "der hund und die katze und das pferd ist gross", "de", "s", 47),
+        (5, "xy", "en", "s", 2),  # shorter than shingle width
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rng = np.random.default_rng(3)
+    rows = [(i, rng.standard_normal(16).astype(float).tolist(), i % 3) for i in range(50)]
+    # vector 49 = exact copy of vector 0 → cosine 1
+    rows[49] = (49, rows[0][1], 0)
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+
+
+def test_cosine_topk_exact(spark, emb):
+    rows = {r.vec_id: r.embedding for r in emb.collect()}
+    target = rows[0]
+    got = similarity.cosine_topk(spark, emb, target, k=5).collect()
+    assert [r.vec_id for r in got][:2] == [0, 49]
+    assert got[0].sim == 1.0 and got[1].sim == 1.0
+    # verify third against numpy
+    def cos(a, b):
+        a, b = np.array(a), np.array(b)
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+    expected3 = sorted(
+        ((round(cos(v, target), 8), k) for k, v in rows.items()), key=lambda t: (-t[0], t[1])
+    )[2]
+    assert (got[2].sim, got[2].vec_id) == expected3
+
+
+def test_ann_lsh_recalls_identical_vector(spark, emb):
+    rows = {r.vec_id: r.embedding for r in emb.collect()}
+    got = similarity.ann_lsh_topk(spark, emb, rows[0], k=5, n_planes=6, n_bands=4)
+    ids = [r.vec_id for r in got.collect()]
+    assert 0 in ids and 49 in ids  # identical vectors always share all buckets
+
+
+def test_embedding_norms(spark, emb):
+    rows = {r.vec_id: r.embedding for r in emb.collect()}
+    got = {r.vec_id: r.norm for r in similarity.embedding_norms(emb).collect()}
+    for vid in (0, 7, 23):
+        assert got[vid] == pytest.approx(float(np.linalg.norm(rows[vid])), abs=1e-7)
+
+
+def test_fuzzy_match_semantics(spark, docs):
+    pats = docs.select(F.col("doc_id").alias("id"), F.col("text").alias("pattern"))
+    q = "the quick brown fox jumps over the lazy dog"
+    got = {r.id: r.similarity for r in fuzzymatch.fuzzy_match(spark, pats, q, 80.0).collect()}
+    assert got[0] == 100.0 and got[1] == 100.0
+    # one word changed (jumps→leaps): lev=3, len=43 → 100*(1-3/43)
+    assert got[2] == pytest.approx(100 * (1 - 3 / 43), abs=1e-4)
+    assert 3 not in got
+
+
+def test_fuzzy_join_finds_near_pairs(spark, docs):
+    l = docs.select(F.col("doc_id").alias("id"), F.col("text"))
+    got = fuzzymatch.fuzzy_join(spark, l, l, threshold=90.0,
+                                left_id="id", left_text="text",
+                                right_id="id", right_text="text")
+    pairs = {(r.lid, r.rid) for r in got.collect() if r.lid < r.rid}
+    assert (0, 1) in pairs and (0, 2) in pairs and (1, 2) in pairs
+
+
+def test_exact_dedup_groups(spark, docs):
+    got = dedup.exact_dedup(spark, docs)
+    dupes = got.filter("n_dupes > 1").collect()
+    assert len(dupes) == 1 and dupes[0].keep_doc_id == 0 and dupes[0].n_dupes == 2
+
+
+def test_minhash_finds_near_dups(spark, docs):
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.minhash_lsh_pairs(spark, docs, num_perm=16, bands=4).collect()
+    }
+    assert (0, 1) in pairs  # exact dup always collides in all bands
+
+
+def test_jaccard_exact_values(spark, docs):
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(spark, docs, n=3, threshold=0.1).collect()
+    }
+    assert got[(0, 1)] == 1.0
+    # doc2 differs by one word: 7 shingles each, 3-gram window of changed
+    # word kills 3 shingles → inter=4, union=10 → 0.4
+    assert got[(0, 2)] == pytest.approx(0.4, abs=1e-6)
+
+
+def test_short_doc_has_no_shingles(spark, docs):
+    st = dedup.shingle_table(docs.filter("doc_id = 5"), n=3)
+    assert st.count() == 0
+
+
+def test_simhash_near_pairs(spark, docs):
+    fp = {r.doc_id: r.simhash for r in dedup.simhash(docs).collect()}
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+    assert ham(fp[0], fp[1]) == 0
+    assert ham(fp[0], fp[2]) < ham(fp[0], fp[3])
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.simhash_near_pairs(spark, docs, max_hamming=10).collect()
+    }
+    assert (0, 1) in pairs
+
+
+def test_token_stats_and_quality(spark, docs):
+    ts = {r.doc_id: r for r in text.token_stats(docs).collect()}
+    assert ts[0].n_tokens == 9
+    assert ts[5].n_tokens == 1
+    q = {r.doc_id: r.quality for r in text.quality_score(docs).collect()}
+    assert 0.0 <= min(q.values()) and max(q.values()) <= 1.0
+    assert q[0] > q[5]  # tiny doc scores worse
+
+
+def test_language_id(spark, docs):
+    got = {r.doc_id: r.lang_pred for r in text.language_id(docs).collect()}
+    assert got[0] == "en" and got[4] == "de" and got[5] == "und"
+
+
+def test_fingerprint_whitespace_insensitive(spark):
+    d = spark.createDataFrame(
+        [(0, "hello   world"), (1, "Hello world "), (2, "other")],
+        "doc_id long, text string",
+    )
+    fp = {r.doc_id: r.fingerprint for r in text.fingerprint(d).collect()}
+    assert fp[0] == fp[1] != fp[2]
+
+
+def test_multimodal_plumbing(spark):
+    media = multimodal.synthetic_media(spark, 24)
+    stats = multimodal.payload_stats(media)
+    assert stats.filter(F.length("payload_sha256") != 64).count() == 0
+    feats = multimodal.extract_features(media, feature_dim=8)
+    pdf = feats.toPandas()
+    assert len(pdf) == 24 and all(len(f) == 8 for f in pdf.features)
+    # deterministic fake: histogram sums to ~1
+    assert all(abs(sum(f) - 1.0) < 1e-9 for f in pdf.features)
+    plan = multimodal.frame_sample_plan(media, every_ms=5000)
+    assert plan.filter("ts_ms % 5000 != 0").count() == 0
+    with pytest.raises(multimodal.DecodeUnavailable):
+        multimodal.decode_image(b"xx")

@@ -1,0 +1,161 @@
+"""Operator correctness vs independent numpy oracles (BASELINE.md targets:
+PageRank allclose 1e-6, CC/triangles exact, LP deterministic-match)."""
+
+import numpy as np
+import pyspark.sql.functions as F
+import pytest
+
+from graphanalytics_spark import fixtures, graph
+from graphanalytics_spark.operators import (
+    components,
+    contraction,
+    labelprop,
+    mis,
+    modularity,
+    nhop,
+    pagerank,
+    triangles,
+)
+from tests import oracles
+
+
+def _random_graph(n=60, p=0.08, seed=7):
+    rng = np.random.default_rng(seed)
+    pairs = [
+        (i, j) for i in range(n) for j in range(i + 1, n) if rng.random() < p
+    ]
+    # ensure no isolated vertex ambiguity: add a ring so all vertices exist
+    pairs += [(i, (i + 1) % n) for i in range(n)]
+    w = {p_: float(rng.integers(1, 4)) for p_ in pairs}
+    return [(a, b, w[(a, b)]) for a, b in sorted(set(pairs))], n
+
+
+@pytest.fixture(scope="module")
+def rgraph(spark):
+    edges, n = _random_graph()
+    df = spark.createDataFrame(edges, "src long, dst long, weight double")
+    return graph.canonicalize(df), edges, n
+
+
+def test_pagerank_matches_oracle(spark, rgraph):
+    ec, edges, n = rgraph
+    sym = [(a, b, w) for a, b, w in edges] + [(b, a, w) for a, b, w in edges]
+    expected = oracles.pagerank_np(sym, n, tol=1e-7)
+    m = pagerank.IterationMetrics()
+    got = pagerank.pagerank(spark, graph.symmetrize(ec), tol=1e-7, metrics=m)
+    gd = {r.vid: r["rank"] for r in got.collect()}
+    assert np.allclose([gd[i] for i in range(n)], expected, atol=1e-6)
+    assert abs(sum(gd.values()) - 1.0) < 1e-9
+    assert m.iterations > 1 and m.total_edges_traversed > 0
+
+
+def test_pagerank_csr_matches_dataframe(spark, rgraph):
+    ec, edges, n = rgraph
+    a = pagerank.pagerank(spark, graph.symmetrize(ec), tol=1e-7)
+    b = pagerank.pagerank_csr(spark, graph.symmetrize(ec), tol=1e-7, n_blocks=8)
+    ad = {r.vid: r["rank"] for r in a.collect()}
+    bd = {r.vid: r["rank"] for r in b.collect()}
+    assert np.allclose(
+        [ad[i] for i in range(n)], [bd[i] for i in range(n)], atol=1e-9
+    )
+
+
+def test_pagerank_dangling_star(spark):
+    # directed star: leaves point at hub; hub is dangling
+    e = spark.createDataFrame(
+        [(i, 0, 1.0) for i in range(1, 6)], "src long, dst long, weight double"
+    )
+    expected = oracles.pagerank_np([(i, 0, 1.0) for i in range(1, 6)], 6, tol=1e-8)
+    got = pagerank.pagerank(spark, e, tol=1e-8)
+    gd = {r.vid: r["rank"] for r in got.collect()}
+    assert np.allclose([gd[i] for i in range(6)], expected, atol=1e-6)
+
+
+def test_components_exact(spark, rgraph):
+    ec, edges, n = rgraph
+    expected = oracles.components_np([(a, b) for a, b, _ in edges], list(range(n)))
+    got = {
+        r.vid: r.component
+        for r in components.connected_components(spark, ec).collect()
+    }
+    assert got == expected
+
+
+def test_components_two_islands(spark):
+    ec = graph.canonicalize(
+        fixtures.edges_df(spark, fixtures.TWO_COMPONENTS_PLUS_ISOLATE)
+    )
+    got = {
+        r.vid: r.component
+        for r in components.connected_components(spark, ec).collect()
+    }
+    assert got == {0: 0, 1: 0, 2: 0, 3: 3, 4: 3}
+
+
+def test_label_propagation_matches_oracle(spark, rgraph):
+    ec, edges, n = rgraph
+    expected = oracles.label_propagation_np(edges, list(range(n)), max_iter=15)
+    got = {
+        r.vid: r.label
+        for r in labelprop.label_propagation(spark, ec, max_iter=15).collect()
+    }
+    assert got == expected
+
+
+def test_triangles_exact(spark, rgraph):
+    ec, edges, n = rgraph
+    expected = oracles.triangles_np([(a, b) for a, b, _ in edges])
+    assert triangles.triangle_count(spark, ec).first()[0] == expected
+    pv = triangles.triangle_count_per_vertex(spark, ec)
+    assert pv.agg(F.sum("n_triangles")).first()[0] == 3 * expected
+
+
+def test_triangles_two_triangles(spark):
+    ec = graph.canonicalize(fixtures.edges_df(spark, fixtures.TWO_TRIANGLES_BRIDGE))
+    assert triangles.triangle_count(spark, ec).first()[0] == 2
+
+
+def test_mis_invariants(spark, rgraph):
+    ec, _, _ = rgraph
+    s = mis.maximal_independent_set(spark, ec)
+    v = mis.verify_mis(spark, ec, s)
+    assert v == {"independence_violations": 0, "maximality_violations": 0}
+
+
+def test_mis_deterministic(spark, rgraph):
+    ec, _, _ = rgraph
+    a = sorted(r.vid for r in mis.maximal_independent_set(spark, ec, seed=1).collect())
+    b = sorted(r.vid for r in mis.maximal_independent_set(spark, ec, seed=1).collect())
+    assert a == b
+
+
+def test_modularity_known_value(spark):
+    ec = graph.canonicalize(fixtures.edges_df(spark, fixtures.TWO_TRIANGLES_BRIDGE))
+    labels = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 0), (3, 1), (4, 1), (5, 1)], "vid long, label long"
+    )
+    q = modularity.modularity(spark, ec, labels)
+    expected = oracles.modularity_np(
+        [(a, b, 1.0) for a, b in fixtures.TWO_TRIANGLES_BRIDGE],
+        {0: 0, 1: 0, 2: 0, 3: 1, 4: 1, 5: 1},
+    )
+    assert abs(q - expected) < 1e-12
+    assert abs(q - 0.35714285714285715) < 1e-12
+
+
+def test_contraction_sums_weights(spark):
+    ec = graph.canonicalize(fixtures.edges_df(spark, fixtures.TWO_TRIANGLES_BRIDGE))
+    labels = spark.createDataFrame(
+        [(0, 10), (1, 10), (2, 10), (3, 20), (4, 20), (5, 20)], "vid long, label long"
+    )
+    got = sorted(
+        tuple(r) for r in contraction.contract_graph(spark, ec, labels).collect()
+    )
+    assert got == [(0, 0, 3.0), (0, 1, 1.0), (1, 1, 3.0)]
+
+
+def test_nhop_bfs_levels(spark):
+    ec = graph.canonicalize(fixtures.edges_df(spark, fixtures.TWO_TRIANGLES_BRIDGE))
+    seeds = spark.createDataFrame([(0,)], "v long")
+    got = sorted((r.vid, r.hop) for r in nhop.n_hop(spark, ec, seeds, 2).collect())
+    assert got == [(0, 0), (1, 1), (2, 1), (3, 2)]
