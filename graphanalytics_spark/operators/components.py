@@ -86,9 +86,11 @@ def connected_components(
                 (F.col("new_label") != F.col("label")).alias("changed"),
             )
         )
-        if checkpoint_every and it % checkpoint_every == 0:
-            new_state = new_state.localCheckpoint(eager=False)
-        new_state = new_state.persist()
+        # eager localCheckpoint every iteration: each round stacks ~4 joins
+        # on the state lineage, so without truncation analysis cost grows
+        # exponentially (measured: iter 4 at sf0.01 took 124s un-truncated,
+        # <1s truncated). State is NV rows — tiny next to the edge table.
+        new_state = new_state.localCheckpoint(eager=True)
         n_changed = new_state.filter("changed").count()
         state.unpersist()
         state = new_state.drop("changed")

@@ -70,9 +70,8 @@ def label_propagation(
                 (F.coalesce("new_label", "label") != F.col("label")).alias("changed"),
             )
         )
-        if checkpoint_every and it % checkpoint_every == 0:
-            new_state = new_state.localCheckpoint(eager=False)
-        new_state = new_state.persist()
+        # eager per-iteration lineage truncation (see components.py note)
+        new_state = new_state.localCheckpoint(eager=True)
         n_changed = new_state.filter("changed").count()
         state.unpersist()
         state = new_state.drop("changed")

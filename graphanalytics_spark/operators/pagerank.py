@@ -134,9 +134,9 @@ def pagerank(
             "dangling",
             F.abs(new_rank_expr - F.col("rank")).alias("delta"),
         )
-        if checkpoint_every and it % checkpoint_every == 0:
-            new_state = new_state.localCheckpoint(eager=False)
-        new_state = new_state.persist()
+        # eager per-iteration lineage truncation (see components.py note):
+        # localCheckpoint also caches, replacing the persist.
+        new_state = new_state.localCheckpoint(eager=True)
         agg = new_state.agg(
             F.max("delta").alias("d"),
             F.sum(F.when(F.col("dangling"), F.col("rank")).otherwise(0.0)).alias("dm"),
@@ -237,9 +237,9 @@ def pagerank_csr(
             "block",
             F.abs(new_rank_expr - F.col("rank")).alias("delta"),
         )
-        if checkpoint_every and it % checkpoint_every == 0:
-            new_state = new_state.localCheckpoint(eager=False)
-        new_state = new_state.persist()
+        # eager per-iteration lineage truncation (see components.py note):
+        # localCheckpoint also caches, replacing the persist.
+        new_state = new_state.localCheckpoint(eager=True)
         agg = new_state.agg(
             F.max("delta").alias("d"),
             F.sum(F.when(F.col("dangling"), F.col("rank")).otherwise(0.0)).alias("dm"),
