@@ -439,6 +439,61 @@ FROM e2 JOIN lab ls ON ls.vid = e2.src JOIN lab ld ON ld.vid = e2.dst
 GROUP BY 1, 2"""
 
 
+def _modularity_cc(spark, sf_dir):
+    """Modularity of the connected-component partition (a determinism probe
+    for the two-reduction modularity formula — FeatureLV::ComputeQ analog).
+    With CC labels every intra-component edge is internal."""
+    e = _graph_sparse(spark, sf_dir)
+    labels = components.connected_components(spark, e)
+    sym = graph.symmetrize(e)
+    lsrc = labels.select(F.col("vid").alias("src"), F.col("component").alias("ca"))
+    ldst = labels.select(F.col("vid").alias("dst"), F.col("component").alias("cb"))
+    joined = sym.join(lsrc, "src").join(ldst, "dst")
+    two_m = sym.agg(F.sum("weight").alias("m")).select("m")
+    in_w = joined.filter(F.col("ca") == F.col("cb")).agg(
+        F.sum("weight").alias("iw")
+    )
+    tot = (
+        joined.groupBy("ca")
+        .agg(F.sum("weight").alias("t"))
+        .agg(F.sum(F.col("t") * F.col("t")).alias("tt"))
+    )
+    return (
+        two_m.crossJoin(in_w)
+        .crossJoin(tot)
+        .select(
+            F.round(
+                F.col("iw") / F.col("m") - F.col("tt") / (F.col("m") * F.col("m")), 9
+            ).alias("q")
+        )
+    )
+
+
+_MODULARITY_CC_SQL = f"""WITH RECURSIVE {_ES}, {_SYM},
+cc(vid, label) AS (
+  SELECT src, src FROM sym
+  UNION
+  SELECT sym.dst, cc.label FROM cc JOIN sym ON sym.src = cc.vid
+  WHERE cc.label < sym.dst
+),
+cc0 AS (SELECT vid, min(label) AS component FROM cc GROUP BY vid),
+joined AS (
+  SELECT s.weight, a.component AS ca, b.component AS cb
+  FROM sym s JOIN cc0 a ON a.vid = s.src JOIN cc0 b ON b.vid = s.dst),
+m AS (SELECT sum(weight) AS two_m FROM sym),
+inw AS (SELECT sum(weight) AS iw FROM joined WHERE ca = cb),
+tot AS (SELECT sum(t * t) AS tt FROM (SELECT sum(weight) AS t FROM joined GROUP BY ca))
+SELECT round(iw / two_m - tt / (two_m * two_m), 9) AS q FROM inw, tot, m"""
+
+
+def _louvain_communities(spark, sf_dir):
+    from graphanalytics_spark.operators import louvain as louvain_mod
+
+    return louvain_mod.louvain(
+        spark, _graph_sparse(spark, sf_dir), max_phases=4, max_rounds_per_phase=12
+    )
+
+
 def _nhop_2(spark, sf_dir):
     e = _graph_sparse(spark, sf_dir)
     seeds = (
@@ -659,6 +714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connected_components": _connected_components,
         "cc_sizes": _cc_sizes,
         "contract_by_component": _contract_by_component,
+        "modularity_cc": _modularity_cc,
         "nhop_2": _nhop_2,
         "doc_exact_dedup": _doc_exact_dedup,
         "doc_token_stats": _doc_token_stats,
@@ -674,6 +730,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only (iterative / non-SQL-expressible)
         "pagerank_converged": _pagerank_converged,
         "label_propagation": _label_propagation,
+        "louvain": _louvain_communities,
         "mis": _mis,
         "ann_lsh_topk": _ann_topk,
         "ingest_edges": _ingest_edges,
@@ -698,6 +755,7 @@ def oracle_sql() -> dict[str, str]:
         "connected_components": _CC_SQL,
         "cc_sizes": _CC_SIZES_SQL,
         "contract_by_component": _CONTRACT_SQL,
+        "modularity_cc": _MODULARITY_CC_SQL,
         "nhop_2": _NHOP_SQL,
         "doc_exact_dedup": _DOC_DEDUP_SQL,
         "doc_token_stats": _TOKEN_STATS_SQL,

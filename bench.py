@@ -49,6 +49,17 @@ def main():
     edges_traversed = m.total_edges_traversed
     eps = edges_traversed / pr_wall if pr_wall > 0 else 0.0
 
+    # steady-state throughput: fixed 20 gather-scatter iterations (immune
+    # to how fast this particular graph converges; the static link side is
+    # cached, so this measures the per-iteration join+agg pipeline)
+    m20 = pagerank.IterationMetrics()
+    t0 = time.monotonic()
+    r20 = pagerank.pagerank(spark, sym, tol=0.0, max_iter=20, metrics=m20)
+    r20.agg(F.sum("rank")).collect()
+    pr20_wall = time.monotonic() - t0
+    timings["pagerank_20iter"] = pr20_wall
+    eps20 = m20.total_edges_traversed / pr20_wall if pr20_wall > 0 else 0.0
+
     sparse = edges.filter(F.col("weight") >= 2)
 
     t0 = time.monotonic()
@@ -85,6 +96,7 @@ def main():
         "unit": "sec",
         "queries": {k: round(v, 3) for k, v in timings.items()},
         "pagerank_edges_traversed_per_sec": round(eps, 1),
+        "pagerank20_edges_traversed_per_sec": round(eps20, 1),
         "sf": sf_dir,
         "cpus": cpus,
         "n_edges": n_edges,

@@ -1,0 +1,244 @@
+"""Distributed Louvain community detection (multi-phase).
+
+From-scratch Spark restatement of the reference's flagship pipeline
+(/root/reference/louvainmod — LouvainGLV_general per-phase loop,
+louvainPhase.cpp:2506; phase post-processing renumber → update C_orig →
+buildNextLevelGraphOpt, louvainPhase.cpp:249-330; stop on ΔQ ≤ threshold /
+minGraphSize / phase caps, louvainPhase.cpp:2187-2196):
+
+Phase loop (one 'level'):
+  1. Best-move rounds: every vertex evaluates moving to a neighboring
+     community; gain follows the standard Louvain ΔQ
+     (grappolo's ``max()`` rule, utilityClusteringFunctions.cpp:115-151):
+         gain(v→c) = w_{v,c} − wdeg_v · tot_c∖v / (2m)
+     compared against staying; ties → smaller community id. Moves are
+     synchronous; to avoid the classic two-vertex swap oscillation
+     (the reference serializes conflicts with graph coloring,
+     coloringDistanceOne.cpp:52 — unnecessary in Spark) only the
+     deterministic hash-half of vertices may move each round.
+  2. Contract: communities become vertices, parallel edges sum,
+     self-loops carry intra-community weight (buildNextLevelGraphOpt).
+  3. Compose the original→community mapping (PhaseLoop_UpdatingC_org,
+     louvainMultiPhaseRun.cpp:54-68) and recurse on the contracted graph
+     until modularity gain < threshold or max phases.
+
+Per-phase metrics (Q, NV, NE, move rounds) are recorded — the FeatureLV
+analog (xilinxlouvainInternal.h:235-253).
+
+Scale notes: each move round is two joins + two aggregations over the
+(persisted) symmetrized edge table; community totals are a broadcast-sized
+table after the first contraction. Contraction shrinks the graph
+geometrically, so phase k costs a fraction of phase k-1 — the same
+economics the reference exploits by re-running merged graphs on one card.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from graphanalytics_spark.graph import symmetrize
+from graphanalytics_spark.operators.contraction import contract_graph
+from graphanalytics_spark.operators.modularity import modularity
+
+
+def _one_phase(
+    spark: SparkSession,
+    edges_canon: DataFrame,
+    max_rounds: int,
+    seed: int,
+) -> tuple[DataFrame, int]:
+    """One Louvain level over the given graph (self-loops allowed in
+    ``edges_canon``). Returns (labels(vid,label), rounds_used)."""
+    sym = symmetrize(edges_canon.filter(F.col("src") != F.col("dst"))).persist()
+    self_w = edges_canon.filter(F.col("src") == F.col("dst")).select(
+        F.col("src").alias("vid"), F.col("weight").alias("self_w")
+    )
+    # weighted degree incl. self-loops (counted twice per Louvain convention)
+    deg = (
+        sym.groupBy(F.col("src").alias("vid"))
+        .agg(F.sum("weight").alias("wdeg"))
+        .join(self_w, "vid", "left")
+        .select(
+            "vid",
+            (F.col("wdeg") + 2 * F.coalesce("self_w", F.lit(0.0))).alias("wdeg"),
+        )
+        .persist()
+    )
+    two_m = (
+        sym.agg(F.sum("weight")).first()[0] or 0.0
+    ) + 2 * (
+        edges_canon.filter(F.col("src") == F.col("dst"))
+        .agg(F.sum("weight"))
+        .first()[0]
+        or 0.0
+    )
+    if two_m == 0:
+        return deg.select("vid", F.col("vid").alias("label")), 0
+
+    state = deg.select("vid", F.col("vid").alias("label"), "wdeg").localCheckpoint()
+
+    rounds = 0
+    quiet = 0
+    for rnd in range(1, max_rounds + 1):
+        rounds = rnd
+        # neighbor-community incident weights w_{v,c}
+        lab_dst = state.select(F.col("vid").alias("dst"), F.col("label").alias("c"))
+        wvc = (
+            sym.join(lab_dst, "dst")
+            .groupBy(F.col("src").alias("vid"), "c")
+            .agg(F.sum("weight").alias("w_vc"))
+        )
+        # community totals Σ wdeg
+        tot = state.groupBy("label").agg(F.sum("wdeg").alias("tot"))
+        cur = state.select("vid", F.col("label").alias("cur"), "wdeg")
+        cand = (
+            wvc.join(cur, "vid")
+            .join(tot.withColumnRenamed("label", "c"), "c")
+            .select(
+                "vid",
+                "c",
+                "cur",
+                "wdeg",
+                # tot_c excluding v itself when c is v's current community
+                F.when(F.col("c") == F.col("cur"), F.col("tot") - F.col("wdeg"))
+                .otherwise(F.col("tot"))
+                .alias("tot_x"),
+                "w_vc",
+            )
+            .withColumn(
+                "gain",
+                F.col("w_vc") - F.col("wdeg") * F.col("tot_x") / F.lit(two_m),
+            )
+        )
+        # argmax with reference tie rules: higher gain, then smaller c
+        best = cand.groupBy("vid").agg(
+            F.max(F.struct(F.col("gain"), (-F.col("c")).alias("negc"))).alias("m")
+        ).select("vid", F.col("m.gain").alias("best_gain"), (-F.col("m.negc")).alias("best_c"))
+        stay = cand.filter(F.col("c") == F.col("cur")).select(
+            "vid", F.col("gain").alias("stay_gain")
+        )
+        moves = (
+            best.join(stay, "vid", "left")
+            .join(state.select("vid", F.col("label").alias("cur")), "vid")
+            .select(
+                "vid",
+                "cur",
+                F.when(
+                    (F.col("best_gain") > F.coalesce("stay_gain", F.lit(-1e300)))
+                    & (F.col("best_c") != F.col("cur"))
+                    # one deterministic hash class moves per round — the
+                    # Spark stand-in for the reference's distance-1 coloring
+                    # (conflict-free move sets, coloringDistanceOne.cpp:52):
+                    # classes rotate so every vertex gets move windows, and
+                    # non-adjacent-in-time moves can't chain-collapse.
+                    & (F.pmod(F.xxhash64("vid", F.lit(seed)), F.lit(4)) == (rnd % 4)),
+                    F.col("best_c"),
+                )
+                .otherwise(F.col("cur"))
+                .alias("new_label"),
+            )
+        )
+        new_state = (
+            state.join(moves.select("vid", "new_label"), "vid", "left")
+            .select(
+                "vid",
+                F.coalesce("new_label", "label").alias("label"),
+                "wdeg",
+                (F.coalesce("new_label", "label") != F.col("label")).alias("changed"),
+            )
+            .localCheckpoint()
+        )
+        n_moved = new_state.filter("changed").count()
+        state = new_state.drop("changed")
+        # converged only when a full rotation of move classes is quiet
+        quiet = quiet + 1 if n_moved == 0 else 0
+        if quiet >= 4:
+            break
+    sym.unpersist()
+    deg.unpersist()
+    return state.select("vid", "label"), rounds
+
+
+def louvain(
+    spark: SparkSession,
+    edges_canon: DataFrame,
+    max_phases: int = 10,
+    max_rounds_per_phase: int = 20,
+    min_gain: float = 1e-4,
+    seed: int = 42,
+    metrics: list | None = None,
+) -> DataFrame:
+    """Multi-phase Louvain. Returns DataFrame(vid: long, community: long)
+    over original vertex ids. ``metrics`` (optional list) collects
+    per-phase dicts (phase, Q, n_vertices, n_edges, rounds) — the
+    FeatureLV per-phase record."""
+    from graphanalytics_spark.operators.contraction import renumber_labels
+
+    g = edges_canon
+    mapping = None  # original vid -> current community id space of g
+    best_mapping = _identity_labels(edges_canon).select(
+        "vid", F.col("label").alias("community")
+    )
+    best_q = modularity(
+        spark, edges_canon, best_mapping.select("vid", F.col("community").alias("label"))
+    )
+
+    for phase in range(1, max_phases + 1):
+        labels, rounds = _one_phase(spark, g, max_rounds_per_phase, seed + 1000 * phase)
+        # compose mapping: C_orig[v] = C[C_orig[v]]
+        # (PhaseLoop_UpdatingC_org, louvainMultiPhaseRun.cpp:54-68)
+        if mapping is None:
+            mapping = labels.select("vid", F.col("label").alias("community"))
+        else:
+            mapping = (
+                mapping.join(
+                    labels.withColumnRenamed("vid", "community"), "community"
+                )
+                .select("vid", F.col("label").alias("community"))
+            )
+        mapping = mapping.localCheckpoint()
+        q = modularity(
+            spark,
+            edges_canon,
+            mapping.select("vid", F.col("community").alias("label")),
+        )
+        if metrics is not None:
+            metrics.append(
+                {
+                    "phase": phase,
+                    "Q": q,
+                    "n_vertices": g.select("src").union(g.select("dst")).distinct().count(),
+                    "n_edges": g.count(),
+                    "rounds": rounds,
+                }
+            )
+        improved = q - best_q >= min_gain
+        if q > best_q:
+            best_q, best_mapping = q, mapping
+        if not improved:
+            break  # keep the best mapping seen (a worse phase is discarded)
+        # contract for the next level (keeps self-loops); contraction
+        # renumbers communities densely, so re-express the mapping in the
+        # contracted id space with the same renumbering.
+        g = contract_graph(spark, g, labels).localCheckpoint()
+        ren = renumber_labels(labels)  # vid (of g) -> cid (dense)
+        mapping = (
+            mapping.join(
+                ren.select(F.col("vid").alias("community_old_vid"), F.col("cid")),
+                mapping.community == F.col("community_old_vid"),
+            )
+            .select("vid", F.col("cid").alias("community"))
+            .localCheckpoint()
+        )
+    return best_mapping
+
+
+def _identity_labels(edges_canon: DataFrame) -> DataFrame:
+    return (
+        edges_canon.select(F.col("src").alias("vid"))
+        .union(edges_canon.select(F.col("dst").alias("vid")))
+        .distinct()
+        .select("vid", F.col("vid").alias("label"))
+    )
