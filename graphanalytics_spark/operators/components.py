@@ -30,6 +30,7 @@ import time
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from graphanalytics_spark.graph import symmetrize
+from graphanalytics_spark.plans.truncate import LineageTruncator
 
 
 def connected_components(
@@ -48,6 +49,7 @@ def connected_components(
         sym = sym.repartition(partitions, "src")
     sym = sym.persist()
     n_edges = sym.count()
+    truncator = LineageTruncator(spark, hard_every=checkpoint_every or 4)
 
     state = (
         sym.select(F.col("src").alias("vid"))
@@ -86,11 +88,10 @@ def connected_components(
                 (F.col("new_label") != F.col("label")).alias("changed"),
             )
         )
-        # eager localCheckpoint every iteration: each round stacks ~4 joins
-        # on the state lineage, so without truncation analysis cost grows
-        # exponentially (measured: iter 4 at sf0.01 took 124s un-truncated,
-        # <1s truncated). State is NV rows — tiny next to the edge table.
-        new_state = new_state.localCheckpoint(eager=True)
+        # per-iteration lineage truncation (plans/truncate.py: eager
+        # localCheckpoint + periodic hard parquet reset — chained
+        # localCheckpoints alone still degrade exponentially in Spark 4.1)
+        new_state = truncator.truncate(new_state, it)
         n_changed = new_state.filter("changed").count()
         state.unpersist()
         state = new_state.drop("changed")

@@ -25,6 +25,7 @@ import time
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from graphanalytics_spark.graph import symmetrize
+from graphanalytics_spark.plans.truncate import LineageTruncator
 
 
 def label_propagation(
@@ -42,6 +43,7 @@ def label_propagation(
         sym = sym.repartition(partitions, "src")
     sym = sym.persist()
     n_edges = sym.count()
+    truncator = LineageTruncator(spark, hard_every=checkpoint_every or 4)
 
     state = (
         sym.select(F.col("src").alias("vid"))
@@ -70,8 +72,8 @@ def label_propagation(
                 (F.coalesce("new_label", "label") != F.col("label")).alias("changed"),
             )
         )
-        # eager per-iteration lineage truncation (see components.py note)
-        new_state = new_state.localCheckpoint(eager=True)
+        # per-iteration lineage truncation (see plans/truncate.py)
+        new_state = truncator.truncate(new_state, it)
         n_changed = new_state.filter("changed").count()
         state.unpersist()
         state = new_state.drop("changed")

@@ -41,6 +41,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from graphanalytics_spark.graph import symmetrize
 from graphanalytics_spark.operators.contraction import contract_graph
 from graphanalytics_spark.operators.modularity import modularity
+from graphanalytics_spark.plans.truncate import LineageTruncator
 
 
 def _one_phase(
@@ -48,6 +49,7 @@ def _one_phase(
     edges_canon: DataFrame,
     max_rounds: int,
     seed: int,
+    truncator: LineageTruncator | None = None,
 ) -> tuple[DataFrame, int]:
     """One Louvain level over the given graph (self-loops allowed in
     ``edges_canon``). Returns (labels(vid,label), rounds_used)."""
@@ -77,7 +79,10 @@ def _one_phase(
     if two_m == 0:
         return deg.select("vid", F.col("vid").alias("label")), 0
 
-    state = deg.select("vid", F.col("vid").alias("label"), "wdeg").localCheckpoint()
+    truncator = truncator or LineageTruncator(spark, hard_every=4)
+    state = truncator.truncate(
+        deg.select("vid", F.col("vid").alias("label"), "wdeg"), 0
+    )
 
     rounds = 0
     quiet = 0
@@ -119,42 +124,51 @@ def _one_phase(
         stay = cand.filter(F.col("c") == F.col("cur")).select(
             "vid", F.col("gain").alias("stay_gain")
         )
-        moves = (
+        # vertices that WANT to move (positive gain over staying)
+        desire = (
             best.join(stay, "vid", "left")
             .join(state.select("vid", F.col("label").alias("cur")), "vid")
-            .select(
-                "vid",
-                "cur",
-                F.when(
-                    (F.col("best_gain") > F.coalesce("stay_gain", F.lit(-1e300)))
-                    & (F.col("best_c") != F.col("cur"))
-                    # one deterministic hash class moves per round — the
-                    # Spark stand-in for the reference's distance-1 coloring
-                    # (conflict-free move sets, coloringDistanceOne.cpp:52):
-                    # classes rotate so every vertex gets move windows, and
-                    # non-adjacent-in-time moves can't chain-collapse.
-                    & (F.pmod(F.xxhash64("vid", F.lit(seed)), F.lit(4)) == (rnd % 4)),
-                    F.col("best_c"),
-                )
-                .otherwise(F.col("cur"))
-                .alias("new_label"),
+            .filter(
+                (F.col("best_gain") > F.coalesce("stay_gain", F.lit(-1e300)))
+                & (F.col("best_c") != F.col("cur"))
             )
+            .select("vid", "best_c", F.xxhash64("vid", F.lit(seed + rnd)).alias("pr"))
+        )
+        # conflict-free move set: of two ADJACENT desiring vertices only the
+        # one with the smaller per-round hash priority moves — the Spark
+        # restatement of the reference's distance-1 coloring
+        # (coloringDistanceOne.cpp:52): no simultaneous adjacent moves, so
+        # the classic two-vertex swap oscillation cannot occur and each
+        # move's gain was evaluated with its neighborhood held fixed.
+        d_l = desire.select(F.col("vid").alias("v"), F.col("pr").alias("pv"))
+        d_r = desire.select(F.col("vid").alias("u"), F.col("pr").alias("pu"))
+        nbr_min = (
+            sym.join(d_l, sym.src == d_l.v)
+            .join(d_r, sym.dst == d_r.u)
+            .groupBy("v", "pv")
+            .agg(F.min(F.struct("pu", "u")).alias("bn"))
+        )
+        blocked = nbr_min.filter(
+            (F.col("bn.pu") < F.col("pv"))
+            | ((F.col("bn.pu") == F.col("pv")) & (F.col("bn.u") < F.col("v")))
+        ).select(F.col("v").alias("vid"))
+        movers = desire.join(blocked, "vid", "left_anti").select(
+            "vid", F.col("best_c").alias("new_label")
         )
         new_state = (
-            state.join(moves.select("vid", "new_label"), "vid", "left")
+            state.join(movers, "vid", "left")
             .select(
                 "vid",
                 F.coalesce("new_label", "label").alias("label"),
                 "wdeg",
                 (F.coalesce("new_label", "label") != F.col("label")).alias("changed"),
             )
-            .localCheckpoint()
         )
+        new_state = truncator.truncate(new_state, rnd)
         n_moved = new_state.filter("changed").count()
         state = new_state.drop("changed")
-        # converged only when a full rotation of move classes is quiet
         quiet = quiet + 1 if n_moved == 0 else 0
-        if quiet >= 4:
+        if quiet >= 2:
             break
     sym.unpersist()
     deg.unpersist()
@@ -176,6 +190,7 @@ def louvain(
     FeatureLV per-phase record."""
     from graphanalytics_spark.operators.contraction import renumber_labels
 
+    truncator = LineageTruncator(spark, hard_every=2)
     g = edges_canon
     mapping = None  # original vid -> current community id space of g
     best_mapping = _identity_labels(edges_canon).select(
@@ -186,7 +201,9 @@ def louvain(
     )
 
     for phase in range(1, max_phases + 1):
-        labels, rounds = _one_phase(spark, g, max_rounds_per_phase, seed + 1000 * phase)
+        labels, rounds = _one_phase(
+            spark, g, max_rounds_per_phase, seed + 1000 * phase, truncator
+        )
         # compose mapping: C_orig[v] = C[C_orig[v]]
         # (PhaseLoop_UpdatingC_org, louvainMultiPhaseRun.cpp:54-68)
         if mapping is None:
@@ -198,7 +215,7 @@ def louvain(
                 )
                 .select("vid", F.col("label").alias("community"))
             )
-        mapping = mapping.localCheckpoint()
+        mapping = truncator.truncate(mapping, phase)
         q = modularity(
             spark,
             edges_canon,
@@ -222,7 +239,7 @@ def louvain(
         # contract for the next level (keeps self-loops); contraction
         # renumbers communities densely, so re-express the mapping in the
         # contracted id space with the same renumbering.
-        g = contract_graph(spark, g, labels).localCheckpoint()
+        g = truncator.truncate(contract_graph(spark, g, labels), phase)
         ren = renumber_labels(labels)  # vid (of g) -> cid (dense)
         mapping = (
             mapping.join(
@@ -230,8 +247,8 @@ def louvain(
                 mapping.community == F.col("community_old_vid"),
             )
             .select("vid", F.col("cid").alias("community"))
-            .localCheckpoint()
         )
+        mapping = truncator.truncate(mapping, phase)
     return best_mapping
 
 

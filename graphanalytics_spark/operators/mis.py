@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from graphanalytics_spark.graph import symmetrize
+from graphanalytics_spark.plans.truncate import LineageTruncator
 
 
 def maximal_independent_set(
@@ -50,6 +51,7 @@ def maximal_independent_set(
         ).alias("prio"),
     ).persist()
 
+    truncator = LineageTruncator(spark, hard_every=4)
     selected_parts = []
     for it in range(1, max_iter + 1):
         # a vertex wins if no active neighbor has (smaller prio, tie smaller vid)
@@ -80,7 +82,7 @@ def maximal_independent_set(
         # round on the state lineage — without truncation the plan depth is
         # quadratic in rounds and analysis time dominates (O(log n) rounds,
         # so checkpoint cost is bounded).
-        round_sel = winners.union(isolated).distinct().localCheckpoint()
+        round_sel = truncator.truncate(winners.union(isolated).distinct(), it)
         n_sel = round_sel.count()
         if n_sel == 0:
             break
@@ -92,7 +94,7 @@ def maximal_independent_set(
             )
         )
         dead = round_sel.select("vid").union(nbrs_of_sel).distinct()
-        new_active = active.join(dead, "vid", "left_anti").localCheckpoint()
+        new_active = truncator.truncate(active.join(dead, "vid", "left_anti"), it)
         remaining = new_active.count()
         active.unpersist()
         active = new_active

@@ -35,6 +35,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from graphanalytics_spark.graph import vertices as _vertices
+from graphanalytics_spark.plans.truncate import LineageTruncator
 
 
 @dataclass
@@ -98,6 +99,7 @@ def pagerank(
     """
     links = _prepare_links(edges, partitions)
     n_links = links.count()  # materializes the persisted static side
+    truncator = LineageTruncator(spark, hard_every=checkpoint_every or 4)
 
     verts = _vertices(edges)
     # dangling flag is static per vertex: no out-edges
@@ -134,9 +136,8 @@ def pagerank(
             "dangling",
             F.abs(new_rank_expr - F.col("rank")).alias("delta"),
         )
-        # eager per-iteration lineage truncation (see components.py note):
-        # localCheckpoint also caches, replacing the persist.
-        new_state = new_state.localCheckpoint(eager=True)
+        # per-iteration lineage truncation (see plans/truncate.py)
+        new_state = truncator.truncate(new_state, it)
         agg = new_state.agg(
             F.max("delta").alias("d"),
             F.sum(F.when(F.col("dangling"), F.col("rank")).otherwise(0.0)).alias("dm"),
@@ -188,6 +189,7 @@ def pagerank_csr(
         .persist()
     )
     n_links = links.count()
+    truncator = LineageTruncator(spark, hard_every=checkpoint_every or 4)
 
     verts = _vertices(edges)
     outs = edges.select("src").distinct()
@@ -237,9 +239,8 @@ def pagerank_csr(
             "block",
             F.abs(new_rank_expr - F.col("rank")).alias("delta"),
         )
-        # eager per-iteration lineage truncation (see components.py note):
-        # localCheckpoint also caches, replacing the persist.
-        new_state = new_state.localCheckpoint(eager=True)
+        # per-iteration lineage truncation (see plans/truncate.py)
+        new_state = truncator.truncate(new_state, it)
         agg = new_state.agg(
             F.max("delta").alias("d"),
             F.sum(F.when(F.col("dangling"), F.col("rank")).otherwise(0.0)).alias("dm"),

@@ -1,0 +1,53 @@
+"""Lineage truncation policy for iterative vertex-state loops.
+
+Measured pathology (this drives the whole design): chaining
+``localCheckpoint`` across rounds keeps the logical plan size constant but
+JVM planning+checkpoint time still grows exponentially with chain length
+in Spark 4.1 (Louvain round 12 on a 6-vertex graph: 186 s; CC iteration 4
+at sf0.01: 124 s). A hard materialization (write parquet, read back)
+resets whatever the checkpoint chain accumulates: the same loop runs
+0.6-0.9 s/round indefinitely.
+
+Policy: ``localCheckpoint`` every iteration (cheap, executor-local) plus a
+hard parquet round-trip every ``hard_every`` iterations (bounded cost:
+vertex-state is NV rows, written Snappy-parquet). On a cluster the hard
+path doubles as the durable snapshot location; here it defaults to a
+temp dir. This is the same cadence the reference uses for its GLV binary
+checkpoints (/root/reference/louvainmod/src/ParLV.cpp:398-434).
+"""
+
+from __future__ import annotations
+
+import atexit
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class LineageTruncator:
+    def __init__(
+        self,
+        spark: SparkSession,
+        hard_every: int = 4,
+        base_dir: str | None = None,
+    ):
+        self.spark = spark
+        self.hard_every = hard_every
+        self._own_dir = base_dir is None
+        self.base_dir = base_dir or tempfile.mkdtemp(prefix="ga_trunc_")
+        if self._own_dir:
+            atexit.register(self.cleanup)
+        self._count = 0
+
+    def truncate(self, df: DataFrame, iteration: int) -> DataFrame:
+        """Return an equivalent DataFrame with truncated lineage."""
+        self._count += 1
+        if self.hard_every and iteration % self.hard_every == 0:
+            path = f"{self.base_dir}/it_{iteration:06d}_{self._count}"
+            df.write.mode("overwrite").parquet(path)
+            return self.spark.read.parquet(path)
+        return df.localCheckpoint(eager=True)
+
+    def cleanup(self):
+        shutil.rmtree(self.base_dir, ignore_errors=True)
