@@ -408,6 +408,12 @@ def _pagerank_5iter(spark, sf_dir):
     )
 
 
+def _pagerank_csr_5iter(spark, sf_dir):
+    return pagerank.pagerank_csr_fixed(
+        spark, graph.symmetrize(_graph_full(spark, sf_dir)), iterations=5
+    )
+
+
 def _connected_components(spark, sf_dir):
     return components.connected_components(spark, _graph_sparse(spark, sf_dir))
 
@@ -657,6 +663,59 @@ SELECT vec_id, round(
 FROM embeddings, t ORDER BY sim DESC, vec_id LIMIT 20"""
 
 
+def _cosine_topk_batch(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    targets = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("target_id"),
+        F.col("embedding").alias("target_embedding"),
+    )
+    return similarity.cosine_topk_batch(spark, emb, targets, k=10)
+
+
+_COSINE_BATCH_SQL = """WITH t AS (
+  SELECT vec_id AS target_id, embedding AS te FROM embeddings WHERE vec_id < 3),
+scored AS (
+  SELECT t.target_id, e.vec_id, round(
+    CASE WHEN sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) > 0
+          AND sqrt(list_dot_product(te::DOUBLE[], te::DOUBLE[])) > 0
+    THEN list_dot_product(e.embedding::DOUBLE[], te::DOUBLE[])
+         / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+            * sqrt(list_dot_product(te::DOUBLE[], te::DOUBLE[])))
+    ELSE 0.0 END, 8) AS sim
+  FROM embeddings e CROSS JOIN t)
+SELECT target_id, vec_id, sim, rn FROM (
+  SELECT *, row_number() OVER (PARTITION BY target_id ORDER BY sim DESC, vec_id) AS rn
+  FROM scored) WHERE rn <= 10"""
+
+
+def _token_docfreq(spark, sf_dir):
+    """Corpus token document-frequency table (training-data vocabulary
+    pass): distinct tokens per doc exploded, counted across docs."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.regexp_extract_all(
+                    dedup.normalized_text(F.col("text")), F.lit(r"\S+"), 0
+                )
+            )
+        ).alias("token"),
+    )
+    return (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("doc_freq"))
+        .orderBy(F.desc("doc_freq"), F.asc("token"))
+        .limit(50)
+    )
+
+
+_TOKEN_DOCFREQ_SQL = f"""SELECT token, count(*) AS doc_freq FROM (
+  SELECT DISTINCT doc_id, t.tok AS token FROM documents,
+  unnest(regexp_split_to_array({_NORM}, '\\s+')) AS t(tok))
+GROUP BY token ORDER BY doc_freq DESC, token LIMIT 50"""
+
+
 def _embedding_norms(spark, sf_dir):
     return similarity.embedding_norms(_t(spark, sf_dir, "embeddings"))
 
@@ -711,6 +770,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_count": _triangle_count,
         "triangles_per_vertex": _triangles_per_vertex,
         "pagerank_5iter": _pagerank_5iter,
+        "pagerank_csr_5iter": _pagerank_csr_5iter,
         "connected_components": _connected_components,
         "cc_sizes": _cc_sizes,
         "contract_by_component": _contract_by_component,
@@ -726,6 +786,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": _minhash_pairs,
         "fuzzy_match": _fuzzy_match,
         "cosine_topk": _cosine_topk,
+        "cosine_topk_batch": _cosine_topk_batch,
+        "token_docfreq": _token_docfreq,
         "embedding_norms": _embedding_norms,
         # rows-only (iterative / non-SQL-expressible)
         "pagerank_converged": _pagerank_converged,
@@ -752,6 +814,7 @@ def oracle_sql() -> dict[str, str]:
         "triangle_count": _TRI_SQL,
         "triangles_per_vertex": _TRI_PV_SQL,
         "pagerank_5iter": _pagerank5_sql(),
+        "pagerank_csr_5iter": _pagerank5_sql(),
         "connected_components": _CC_SQL,
         "cc_sizes": _CC_SIZES_SQL,
         "contract_by_component": _CONTRACT_SQL,
@@ -767,5 +830,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_pairs": _minhash_sql(),
         "fuzzy_match": _FUZZY_SQL,
         "cosine_topk": _COSINE_SQL,
+        "cosine_topk_batch": _COSINE_BATCH_SQL,
+        "token_docfreq": _TOKEN_DOCFREQ_SQL,
         "embedding_norms": _NORMS_SQL,
     }

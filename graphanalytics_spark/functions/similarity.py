@@ -79,6 +79,48 @@ def cosine_topk(
     )
 
 
+def cosine_topk_batch(
+    spark: SparkSession,
+    embeddings: DataFrame,
+    targets: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    target_id: str = "target_id",
+    target_vec: str = "target_embedding",
+) -> DataFrame:
+    """Top-K per target for a (small) table of target vectors — the
+    reference plugin's batch cosine mode (one kernel pass matches many
+    patient vectors, /root/reference/plugin/tigergraph/recomengine).
+
+    Plan: broadcast the target table, cross-join against the population
+    (each population row evaluates all targets in one scan), rank within
+    target via a window. One population scan total, independent of the
+    number of targets.
+    """
+    from pyspark.sql.window import Window
+
+    t = targets.select(
+        F.col(target_id).alias("target_id"),
+        F.transform(F.col(target_vec), lambda x: x.cast("double")).alias("tv"),
+    )
+    pop = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("pv"),
+    )
+    scored = pop.crossJoin(F.broadcast(t)).select(
+        "target_id",
+        "vec_id",
+        F.round(cosine_sim_col(F.col("pv"), F.col("tv")), 8).alias("sim"),
+    )
+    w = Window.partitionBy("target_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("target_id", "vec_id", "sim", "rn")
+    )
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((n_planes, dim))

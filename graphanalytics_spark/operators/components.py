@@ -40,10 +40,14 @@ def connected_components(
     checkpoint_every: int = 5,
     partitions: int | None = None,
     metrics=None,
+    initial_state: DataFrame | None = None,
+    checkpointer=None,
 ) -> DataFrame:
     """Returns DataFrame(vid: long, component: long) with component = min
     reachable vertex id. ``edges_canon`` is the canonical undirected-once
-    table (src < dst)."""
+    table (src < dst). ``initial_state`` (vid, label|component) +
+    ``checkpointer`` (plans.checkpoint.CheckpointManager) give the same
+    kill-and-resume semantics as pagerank."""
     sym = symmetrize(edges_canon).select("src", "dst")
     if partitions:
         sym = sym.repartition(partitions, "src")
@@ -51,12 +55,19 @@ def connected_components(
     n_edges = sym.count()
     truncator = LineageTruncator(spark, hard_every=checkpoint_every or 4)
 
-    state = (
-        sym.select(F.col("src").alias("vid"))
-        .distinct()
-        .select("vid", F.col("vid").alias("label"))
-        .persist()
-    )
+    if initial_state is not None:
+        cols = initial_state.columns
+        label_col = "label" if "label" in cols else "component"
+        state = initial_state.select(
+            "vid", F.col(label_col).alias("label")
+        ).persist()
+    else:
+        state = (
+            sym.select(F.col("src").alias("vid"))
+            .distinct()
+            .select("vid", F.col("vid").alias("label"))
+            .persist()
+        )
 
     for it in range(1, max_iter + 1):
         t0 = time.monotonic()
@@ -97,6 +108,11 @@ def connected_components(
         state = new_state.drop("changed")
         if metrics is not None:
             metrics.add(it, float(n_changed), n_edges, time.monotonic() - t0)
+        if checkpointer is not None:
+            checkpointer.maybe_save(
+                it, state.select("vid", F.col("label").alias("component")),
+                float(n_changed),
+            )
         if n_changed == 0:
             break
     sym.unpersist()

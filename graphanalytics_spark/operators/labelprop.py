@@ -35,9 +35,12 @@ def label_propagation(
     checkpoint_every: int = 5,
     partitions: int | None = None,
     metrics=None,
+    initial_state: DataFrame | None = None,
+    checkpointer=None,
 ) -> DataFrame:
     """Returns DataFrame(vid: long, label: long). Labels initialized to
-    vid; converges when no label changes in a sweep or max_iter reached."""
+    vid; converges when no label changes in a sweep or max_iter reached.
+    ``initial_state``/``checkpointer`` give kill-and-resume semantics."""
     sym = symmetrize(edges_canon)
     if partitions:
         sym = sym.repartition(partitions, "src")
@@ -45,12 +48,15 @@ def label_propagation(
     n_edges = sym.count()
     truncator = LineageTruncator(spark, hard_every=checkpoint_every or 4)
 
-    state = (
-        sym.select(F.col("src").alias("vid"))
-        .distinct()
-        .select("vid", F.col("vid").alias("label"))
-        .persist()
-    )
+    if initial_state is not None:
+        state = initial_state.select("vid", "label").persist()
+    else:
+        state = (
+            sym.select(F.col("src").alias("vid"))
+            .distinct()
+            .select("vid", F.col("vid").alias("label"))
+            .persist()
+        )
 
     for it in range(1, max_iter + 1):
         t0 = time.monotonic()
@@ -79,6 +85,8 @@ def label_propagation(
         state = new_state.drop("changed")
         if metrics is not None:
             metrics.add(it, float(n_changed), n_edges, time.monotonic() - t0)
+        if checkpointer is not None:
+            checkpointer.maybe_save(it, state, float(n_changed))
         if n_changed == 0:
             break
     sym.unpersist()

@@ -273,3 +273,16 @@ def pagerank_fixed(
         checkpoint_every=0,
     )
     return r.select("vid", F.round("rank", 9).alias("rank"))
+
+
+def pagerank_csr_fixed(
+    spark: SparkSession, edges: DataFrame, iterations: int = 5, damping: float = 0.85
+) -> DataFrame:
+    """Fixed-iteration variant of the CSR-block Arrow-UDF implementation —
+    same oracle as ``pagerank_fixed`` (identical math, different physical
+    plan), so the pandas/Arrow gather path gets a value-level correctness
+    gate too."""
+    r = pagerank_csr(
+        spark, edges, damping=damping, tol=0.0, max_iter=iterations
+    )
+    return r.select("vid", F.round("rank", 9).alias("rank"))

@@ -35,6 +35,55 @@ def test_checkpoint_lineage_written(spark, tmp_path):
         assert sum(s["rows_per_partition"].values()) == 40
 
 
+def test_cc_kill_and_resume_identical(spark, tmp_path):
+    from graphanalytics_spark.operators import components
+
+    edges = [(i, (i + 1)) for i in range(0, 60, 2)]  # 30 tiny chains... no:
+    # build two long paths so CC needs several iterations
+    edges = [(i, i + 1) for i in range(0, 29)] + [(i, i + 1) for i in range(30, 59)]
+    ec = fixtures.edges_df(spark, edges)
+    full = {
+        r.vid: r.component
+        for r in components.connected_components(spark, ec).collect()
+    }
+    cm = CheckpointManager(spark, str(tmp_path / "cc_ckpt"), every=1)
+    components.connected_components(spark, ec, max_iter=2, checkpointer=cm)
+    state, lineage = cm.load()
+    assert lineage["iteration"] == 2
+    resumed = {
+        r.vid: r.component
+        for r in components.connected_components(
+            spark, ec, initial_state=state
+        ).collect()
+    }
+    assert resumed == full
+
+
+def test_lpa_kill_and_resume_identical(spark, tmp_path):
+    from graphanalytics_spark.operators import labelprop
+
+    sym_src = _graph(spark)  # symmetrized; LPA wants canonical — rebuild
+    edges = [(i, (i + 1) % 40) for i in range(40)] + [
+        (i, (i + 7) % 40) for i in range(0, 40, 3)
+    ]
+    ec = fixtures.edges_df(spark, edges)
+    full = {
+        r.vid: r.label
+        for r in labelprop.label_propagation(spark, ec, max_iter=12).collect()
+    }
+    cm = CheckpointManager(spark, str(tmp_path / "lpa_ckpt"), every=1)
+    labelprop.label_propagation(spark, ec, max_iter=3, checkpointer=cm)
+    state, lineage = cm.load()
+    assert lineage["iteration"] == 3
+    resumed = {
+        r.vid: r.label
+        for r in labelprop.label_propagation(
+            spark, ec, max_iter=9, initial_state=state
+        ).collect()
+    }
+    assert resumed == full
+
+
 def test_kill_and_resume_identical(spark, tmp_path):
     """Run to convergence; run again but 'killed' after 4 iterations, then
     resume from the latest snapshot — final ranks must match."""
