@@ -309,6 +309,20 @@ _CWO_SQL = """SELECT c_custkey FROM customer
 WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)"""
 
 
+def _repeat_customers(spark, sf_dir):
+    """Set-operation coverage (SURVEY §2.6): customers with BOTH an open
+    ('O') and a finished ('F') order — INTERSECT of two key sets."""
+    orders = _t(spark, sf_dir, "orders")
+    open_c = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    done_c = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return open_c.intersect(done_c).select(F.col("o_custkey").alias("c_custkey"))
+
+
+_REPEAT_CUST_SQL = """SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'O'
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'"""
+
+
 def _events_hourly(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     return ev.groupBy(
@@ -762,6 +776,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_parts_by_brand": _top_parts_by_brand,
         "customer_rollup": _customer_rollup,
         "customers_without_orders": _customers_without_orders,
+        "repeat_customers": _repeat_customers,
         "events_hourly": _events_hourly,
         "event_sessions": _event_sessions,
         "copurchase_edges": _copurchase_edges,
@@ -806,6 +821,7 @@ def oracle_sql() -> dict[str, str]:
         "top_parts_by_brand": _TOP_PARTS_SQL,
         "customer_rollup": _CUSTOMER_ROLLUP_SQL,
         "customers_without_orders": _CWO_SQL,
+        "repeat_customers": _REPEAT_CUST_SQL,
         "events_hourly": _EVENTS_HOURLY_SQL,
         "event_sessions": _EVENT_SESSIONS_SQL,
         "copurchase_edges": _EDGES_SQL,

@@ -122,3 +122,26 @@ def connected_components(
 def component_sizes(components: DataFrame) -> DataFrame:
     """Distribution of component sizes (renumber/report analog)."""
     return components.groupBy("component").agg(F.count("*").alias("size"))
+
+
+def attribute_communities(
+    spark: SparkSession,
+    edges_canon: DataFrame,
+    node_attrs: DataFrame,
+    attr: str = "voltage",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Group vertices by attribute equality via flood fill — the
+    ``buildCommunityBasedOnVoltages`` / ``segregateEdgesBasedOnVoltages``
+    analog (/root/reference/grappolo/src/buildNextPhase.cpp:436-533):
+    keep only edges whose endpoints share the attribute value, then run
+    connected components. node_attrs: (vid, <attr>)."""
+    a_src = node_attrs.select(F.col("vid").alias("src"), F.col(attr).alias("_a_src"))
+    a_dst = node_attrs.select(F.col("vid").alias("dst"), F.col(attr).alias("_a_dst"))
+    same = (
+        edges_canon.join(a_src, "src")
+        .join(a_dst, "dst")
+        .filter(F.col("_a_src") == F.col("_a_dst"))
+        .select("src", "dst", "weight")
+    )
+    return connected_components(spark, same, max_iter=max_iter)

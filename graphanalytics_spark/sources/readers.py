@@ -153,3 +153,47 @@ def read_csr_binary(
         {"src": src, "dst": ci.astype(np.int64), "weight": np.ones(len(ci))}
     )
     return spark.createDataFrame(pdf)
+
+
+def read_dimacs1(spark: SparkSession, path: str) -> DataFrame:
+    """DIMACS-1 / clique format ('p edge N M' header, 'e u v' edge lines,
+    'c' comments) — parse_Dimacs1Format analog; 1-based ids, weight 1."""
+    raw = spark.read.text(path).filter(F.col("value").startswith("e "))
+    c = _split_cols(raw, 3)
+    return c.select(
+        (F.col("c1").cast("long") - 1).alias("src"),
+        (F.col("c2").cast("long") - 1).alias("dst"),
+        F.lit(1.0).alias("weight"),
+    )
+
+
+def read_power_grid_kv(spark: SparkSession, path: str) -> DataFrame:
+    """4-column power-grid KV format 'src dst weight voltage'
+    (parse_MultiKvPowerGridGraph analog,
+    /root/reference/grappolo — defs.h:169): returns edges plus the
+    node-attribute column the reference uses for voltage-based community
+    grouping (buildCommunityBasedOnVoltages)."""
+    raw = spark.read.text(path).filter(
+        ~F.col("value").startswith("#") & (F.trim(F.col("value")) != "")
+    )
+    c = _split_cols(raw, 4)
+    return c.select(
+        F.col("c0").cast("long").alias("src"),
+        F.col("c1").cast("long").alias("dst"),
+        F.abs(F.coalesce(F.col("c2").cast("double"), F.lit(1.0))).alias("weight"),
+        F.col("c3").cast("double").alias("voltage"),
+    )
+
+
+def read_edge_list_binary(spark: SparkSession, path: str) -> DataFrame:
+    """Fixed-width binary edge records (parse_EdgeListBinary analog):
+    little-endian int64 (src, dst) pairs. Unsplittable single-file format —
+    numpy decode, Arrow entry, distributed downstream."""
+    import numpy as np
+    import pandas as pd
+
+    arr = np.fromfile(path, dtype="<i8").reshape(-1, 2)
+    pdf = pd.DataFrame(
+        {"src": arr[:, 0], "dst": arr[:, 1], "weight": np.ones(len(arr))}
+    )
+    return spark.createDataFrame(pdf)

@@ -81,3 +81,26 @@ def write_metis(edges_canon: DataFrame, path: str) -> None:
     )
     header = adj.sparkSession.createDataFrame([(f"{n_v} {n_e}",)], "value string")
     header.coalesce(1).union(adj).write.mode("overwrite").text(path)
+
+
+def write_csr_binary(edges_canon: DataFrame, row_ptr_path: str, col_idx_path: str) -> None:
+    """Binary CSR re-export (writeGraphBinaryFormat / MIS rowPtr+colIdx
+    analog): little-endian int32 arrays. The reference caps this format at
+    2^26 vertices per file (xilinxlouvainInternal.h:44), so a driver-side
+    numpy assembly matches its contract; ids must be dense 0..NV-1."""
+    import numpy as np
+
+    from graphanalytics_spark.graph import symmetrize
+
+    pdf = (
+        symmetrize(edges_canon)
+        .select("src", "dst")
+        .toPandas()
+        .sort_values(["src", "dst"])
+    )
+    n_v = int(max(pdf["src"].max(), pdf["dst"].max())) + 1 if len(pdf) else 0
+    counts = np.bincount(pdf["src"].values, minlength=n_v)
+    row_ptr = np.concatenate([[0], np.cumsum(counts)]).astype("<i4")
+    col_idx = pdf["dst"].values.astype("<i4")
+    row_ptr.tofile(row_ptr_path)
+    col_idx.tofile(col_idx_path)

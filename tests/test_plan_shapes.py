@@ -1,0 +1,47 @@
+"""Physical-plan regression tests: the scale-design claims of
+BENCH/PLANS.md are asserted, not just documented — column pruning reaches
+the scan, top-K compiles to TakeOrderedAndProject, and the flagship graph
+derivation does partial aggregation before its exchange."""
+
+import pyspark.sql.functions as F
+
+from graphanalytics_spark import graph
+from graphanalytics_spark.functions import similarity
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_copurchase_scan_is_column_pruned(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    plan = _plan(graph.copurchase_edges(li))
+    # only the join/group keys are read from an 11-column table
+    assert "l_orderkey" in plan and "l_partkey" in plan
+    for unused in ("l_extendedprice", "l_shipdate", "l_comment", "l_quantity"):
+        assert unused not in plan, f"column {unused} not pruned from scan"
+
+
+def test_cosine_topk_uses_take_ordered(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = _plan(similarity.cosine_topk(spark, emb, [0.5] * 64, k=10))
+    assert "TakeOrderedAndProject" in plan
+    # no exchange: top-K merges per-partition heaps on the driver
+    assert "Exchange" not in plan
+
+
+def test_filter_pushdown_reaches_parquet(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    df = li.filter(F.col("l_quantity") > 45).select("l_orderkey")
+    plan = _plan(df)
+    assert "PushedFilters" in plan and "GreaterThan(l_quantity" in plan
+
+
+def test_partial_aggregation_before_exchange(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    plan = _plan(graph.copurchase_edges(li))
+    # partial + final hash aggregate: map-side combine absorbs hub skew
+    first_agg = plan.index("HashAggregate")
+    assert "HashAggregate" in plan[first_agg + 10 :]
