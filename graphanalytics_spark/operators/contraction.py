@@ -19,16 +19,27 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
 
+def renumber_map(labels: DataFrame) -> DataFrame:
+    """Dense 0..k-1 rank of each distinct community label:
+    (label, cid). Smaller original label → smaller cid, matching the
+    reference's deterministic renumber. This is the table to join when a
+    *label value* (not a vertex id) must be translated into the contracted
+    vertex-id space — e.g. composing an original→community mapping across
+    Louvain phases."""
+    distinct = labels.select("label").distinct()
+    return distinct.select(
+        "label",
+        (F.dense_rank().over(Window.orderBy("label")) - 1).alias("cid"),
+    )
+
+
 def renumber_labels(labels: DataFrame) -> DataFrame:
     """Dense 0..k-1 relabeling of community ids: (vid, label) → (vid, cid).
     dense_rank over distinct labels keeps ordering stable (smaller original
     label → smaller cid), matching the reference's deterministic renumber."""
-    distinct = labels.select("label").distinct()
-    ranked = distinct.select(
-        "label",
-        (F.dense_rank().over(Window.orderBy("label")) - 1).alias("cid"),
+    return labels.join(F.broadcast(renumber_map(labels)), "label").select(
+        "vid", "cid"
     )
-    return labels.join(F.broadcast(ranked), "label").select("vid", "cid")
 
 
 def contract_graph(

@@ -77,7 +77,11 @@ def _one_phase(
         or 0.0
     )
     if two_m == 0:
-        return deg.select("vid", F.col("vid").alias("label")), 0
+        out = deg.select("vid", F.col("vid").alias("label"))
+        out = out.localCheckpoint(eager=True)  # detach before unpersisting deps
+        sym.unpersist()
+        deg.unpersist()
+        return out, 0
 
     truncator = truncator or LineageTruncator(spark, hard_every=4)
     state = truncator.truncate(
@@ -121,15 +125,33 @@ def _one_phase(
         best = cand.groupBy("vid").agg(
             F.max(F.struct(F.col("gain"), (-F.col("c")).alias("negc"))).alias("m")
         ).select("vid", F.col("m.gain").alias("best_gain"), (-F.col("m.negc")).alias("best_c"))
-        stay = cand.filter(F.col("c") == F.col("cur")).select(
-            "vid", F.col("gain").alias("stay_gain")
+        # true stay baseline for EVERY vertex (not just those with a
+        # neighbor in their own community): w_{v,cur} − wdeg·(tot_cur−wdeg)/2m
+        # with w_{v,cur} = 0 when v has no intra-community neighbor — the
+        # grappolo rule evaluates staying with the same formula as moving
+        # (utilityClusteringFunctions.cpp:115-151); defaulting to −∞ made
+        # isolated-in-community vertices always desire a (possibly worse)
+        # move, allowing modularity-reducing oscillation.
+        own = cand.filter(F.col("c") == F.col("cur")).select(
+            "vid", F.col("w_vc").alias("w_cur")
+        )
+        stay = (
+            cur.join(tot.withColumnRenamed("label", "cur"), "cur")
+            .join(own, "vid", "left")
+            .select(
+                "vid",
+                (
+                    F.coalesce("w_cur", F.lit(0.0))
+                    - F.col("wdeg") * (F.col("tot") - F.col("wdeg")) / F.lit(two_m)
+                ).alias("stay_gain"),
+            )
         )
         # vertices that WANT to move (positive gain over staying)
         desire = (
-            best.join(stay, "vid", "left")
+            best.join(stay, "vid")
             .join(state.select("vid", F.col("label").alias("cur")), "vid")
             .filter(
-                (F.col("best_gain") > F.coalesce("stay_gain", F.lit(-1e300)))
+                (F.col("best_gain") > F.col("stay_gain"))
                 & (F.col("best_c") != F.col("cur"))
             )
             .select("vid", "best_c", F.xxhash64("vid", F.lit(seed + rnd)).alias("pr"))
@@ -183,12 +205,16 @@ def louvain(
     min_gain: float = 1e-4,
     seed: int = 42,
     metrics: list | None = None,
+    min_graph_size: int = 0,
 ) -> DataFrame:
     """Multi-phase Louvain. Returns DataFrame(vid: long, community: long)
     over original vertex ids. ``metrics`` (optional list) collects
-    per-phase dicts (phase, Q, n_vertices, n_edges, rounds) — the
-    FeatureLV per-phase record."""
-    from graphanalytics_spark.operators.contraction import renumber_labels
+    per-phase dicts (phase, Q, n_vertices, n_edges, rounds, wall_s) — the
+    FeatureLV per-phase record (xilinxlouvainInternal.h:235-253).
+    ``min_graph_size`` stops phasing once the contracted graph has that few
+    vertices or fewer (the reference's minGraphSize stop,
+    louvainPhase.cpp:2187-2196); 0 disables the check."""
+    from graphanalytics_spark.operators.contraction import renumber_map
 
     truncator = LineageTruncator(spark, hard_every=2)
     g = edges_canon
@@ -201,11 +227,14 @@ def louvain(
     )
 
     for phase in range(1, max_phases + 1):
+        t0 = time.monotonic()
         labels, rounds = _one_phase(
             spark, g, max_rounds_per_phase, seed + 1000 * phase, truncator
         )
         # compose mapping: C_orig[v] = C[C_orig[v]]
-        # (PhaseLoop_UpdatingC_org, louvainMultiPhaseRun.cpp:54-68)
+        # (PhaseLoop_UpdatingC_org, louvainMultiPhaseRun.cpp:54-68).
+        # mapping.community lives in g's vertex-id space, which is exactly
+        # what labels.vid is keyed by.
         if mapping is None:
             mapping = labels.select("vid", F.col("label").alias("community"))
         else:
@@ -221,14 +250,18 @@ def louvain(
             edges_canon,
             mapping.select("vid", F.col("community").alias("label")),
         )
+        nv = None
+        if metrics is not None or min_graph_size > 0:
+            nv = g.select("src").union(g.select("dst")).distinct().count()
         if metrics is not None:
             metrics.append(
                 {
                     "phase": phase,
                     "Q": q,
-                    "n_vertices": g.select("src").union(g.select("dst")).distinct().count(),
+                    "n_vertices": nv,
                     "n_edges": g.count(),
                     "rounds": rounds,
+                    "wall_s": time.monotonic() - t0,
                 }
             )
         improved = q - best_q >= min_gain
@@ -236,15 +269,20 @@ def louvain(
             best_q, best_mapping = q, mapping
         if not improved:
             break  # keep the best mapping seen (a worse phase is discarded)
+        if min_graph_size > 0 and nv is not None and nv <= min_graph_size:
+            break  # graph too small to be worth another level
         # contract for the next level (keeps self-loops); contraction
         # renumbers communities densely, so re-express the mapping in the
-        # contracted id space with the same renumbering.
+        # contracted id space with the same renumbering. The remap key is
+        # the LABEL VALUE (mapping.community holds a label, which need not
+        # equal the vid of any vertex still carrying it), so join against
+        # the label→cid rank table — joining a vid-keyed table here would
+        # silently misroute communities whose eponymous vertex moved away.
+        ren = renumber_map(labels)  # label -> cid (dense), same ranks
         g = truncator.truncate(contract_graph(spark, g, labels), phase)
-        ren = renumber_labels(labels)  # vid (of g) -> cid (dense)
         mapping = (
             mapping.join(
-                ren.select(F.col("vid").alias("community_old_vid"), F.col("cid")),
-                mapping.community == F.col("community_old_vid"),
+                F.broadcast(ren), mapping.community == ren.label
             )
             .select("vid", F.col("cid").alias("community"))
         )

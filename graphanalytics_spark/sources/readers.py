@@ -28,12 +28,19 @@ def read_matrix_market(spark: SparkSession, path: str, one_based: bool = True) -
     expanded by the caller via graph.symmetrize. Pattern files (no weight)
     get weight 1.0; weights pass through fabs() like the reference's
     symmetric branch (parse_MatrixMarket_Sym_AsGraph)."""
-    raw = spark.read.text(path).filter(~F.col("value").startswith("%"))
-    # drop the size-header row: exactly the first remaining line; identify
-    # it by zipping an index within the file order (monotonic per split —
-    # a tiny driver-side trim keeps the scan distributed for the rest).
-    first = raw.limit(1)
-    body = raw.subtract(first)
+    # Positional header drop (not set-difference: EXCEPT DISTINCT would
+    # dedup repeated body lines, losing parallel-edge multiplicity, and
+    # limit(1) on a distributed scan is not guaranteed to be line 1).
+    # zipWithIndex preserves file order; the header is the non-comment line
+    # with the smallest index. One tiny agg job, then a pure filter — no
+    # shuffle, duplicates preserved.
+    lines = spark.sparkContext.textFile(path).zipWithIndex()
+    df = spark.createDataFrame(lines, "value string, lineno long")
+    noncomment = df.filter(
+        ~F.col("value").startswith("%") & (F.trim(F.col("value")) != "")
+    )
+    hdr_idx = noncomment.agg(F.min("lineno")).first()[0]
+    body = noncomment.filter(F.col("lineno") > (hdr_idx if hdr_idx is not None else -1))
     c = _split_cols(body, 3)
     off = 1 if one_based else 0
     return c.select(

@@ -83,24 +83,137 @@ def write_metis(edges_canon: DataFrame, path: str) -> None:
     header.coalesce(1).union(adj).write.mode("overwrite").text(path)
 
 
-def write_csr_binary(edges_canon: DataFrame, row_ptr_path: str, col_idx_path: str) -> None:
+def write_csr_binary(
+    edges_canon: DataFrame,
+    row_ptr_path: str,
+    col_idx_path: str,
+    chunk_partitions: int | None = None,
+) -> None:
     """Binary CSR re-export (writeGraphBinaryFormat / MIS rowPtr+colIdx
-    analog): little-endian int32 arrays. The reference caps this format at
-    2^26 vertices per file (xilinxlouvainInternal.h:44), so a driver-side
-    numpy assembly matches its contract; ids must be dense 0..NV-1."""
+    analog): little-endian int32 arrays; ids must be dense 0..NV-1.
+
+    Distributed assembly (never collects the edge table to the driver):
+
+    1. ``col_idx``: range-partition + sort the symmetrized edges on
+       (src, dst); each partition streams its Arrow batches straight into a
+       per-partition binary chunk file (shared staging dir — local FS in
+       local mode, network FS / object store on a cluster); the driver then
+       concatenates the chunk files in range order with bounded-memory
+       ``copyfileobj``. Only O(#partitions) ack rows ever reach the driver.
+    2. ``row_ptr``: classic two-pass distributed prefix sum over the degree
+       table — pass 1 collects per-range (edge-count, vid-range) acks
+       (tiny), the driver computes base offsets, pass 2 writes each range's
+       absolute row_ptr chunk (gap vertices filled via searchsorted).
+
+    The reference caps the format at 2^26 vertices per file
+    (xilinxlouvainInternal.h:44); this writer has no such driver-memory
+    cliff — the cap is only honored as the format's own contract."""
+    import os
+    import shutil
+
     import numpy as np
+    import pandas as pd
 
     from graphanalytics_spark.graph import symmetrize
 
-    pdf = (
-        symmetrize(edges_canon)
-        .select("src", "dst")
-        .toPandas()
-        .sort_values(["src", "dst"])
+    spark = edges_canon.sparkSession
+    sym = symmetrize(edges_canon).select(
+        F.col("src").cast("long").alias("src"), F.col("dst").cast("long").alias("dst")
     )
-    n_v = int(max(pdf["src"].max(), pdf["dst"].max())) + 1 if len(pdf) else 0
-    counts = np.bincount(pdf["src"].values, minlength=n_v)
-    row_ptr = np.concatenate([[0], np.cumsum(counts)]).astype("<i4")
-    col_idx = pdf["dst"].values.astype("<i4")
-    row_ptr.tofile(row_ptr_path)
-    col_idx.tofile(col_idx_path)
+    n_part = chunk_partitions or spark.sparkContext.defaultParallelism
+
+    def _concat_chunks(staging: str, out_path: str, lead: bytes = b"") -> None:
+        with open(out_path, "wb") as out:
+            out.write(lead)
+            for name in sorted(os.listdir(staging)):
+                with open(os.path.join(staging, name), "rb") as f:
+                    shutil.copyfileobj(f, out)
+        shutil.rmtree(staging)
+
+    # --- col_idx: sorted edge stream → per-range chunks ---
+    staging_ci = col_idx_path + ".staging"
+    os.makedirs(staging_ci, exist_ok=True)
+    srt = sym.repartitionByRange(n_part, "src", "dst").sortWithinPartitions(
+        "src", "dst"
+    )
+
+    def dump_colidx(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        path = os.path.join(staging_ci, f"part-{pid:05d}.bin")
+        n = 0
+        with open(path, "wb") as f:
+            for pdf in batches:
+                pdf["dst"].to_numpy(dtype=np.int64).astype("<i4").tofile(f)
+                n += len(pdf)
+        if n == 0:
+            os.remove(path)
+        yield pd.DataFrame({"pid": [pid], "n": [n]})
+
+    srt.mapInPandas(dump_colidx, "pid int, n long").collect()
+    _concat_chunks(staging_ci, col_idx_path)
+
+    # --- row_ptr: two-pass distributed prefix sum over degrees ---
+    deg = sym.groupBy("src").agg(F.count("*").alias("cnt"))
+    mx = sym.agg(F.max("src").alias("m")).first()["m"]
+    n_v = int(mx) + 1 if mx is not None else 0
+    dsrt = deg.repartitionByRange(n_part, "src").sortWithinPartitions("src").persist()
+
+    def ack(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        tot, lo, hi = 0, None, None
+        for pdf in batches:
+            if len(pdf):
+                tot += int(pdf["cnt"].sum())
+                lo = int(pdf["src"].iloc[0]) if lo is None else lo
+                hi = int(pdf["src"].iloc[-1])
+        yield pd.DataFrame({"pid": [pid], "tot": [tot], "lo": [lo], "hi": [hi]})
+
+    acks = sorted(
+        (r["pid"], r["tot"], r["lo"], r["hi"])
+        for r in dsrt.mapInPandas(ack, "pid int, tot long, lo long, hi long").collect()
+    )
+    # per-partition absolute edge base + the vid floor (previous range's max)
+    base, floor = {}, {}
+    cum, prev_hi = 0, -1
+    for pid, tot, lo, hi in acks:
+        base[pid], floor[pid] = cum, prev_hi
+        cum += tot
+        if hi is not None:
+            prev_hi = hi
+    total_edges, last_vid = cum, prev_hi
+
+    staging_rp = row_ptr_path + ".staging"
+    os.makedirs(staging_rp, exist_ok=True)
+
+    def dump_rowptr(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        srcs, cnts = [], []
+        for pdf in batches:
+            srcs.append(pdf["src"].to_numpy(dtype=np.int64))
+            cnts.append(pdf["cnt"].to_numpy(dtype=np.int64))
+        srcs = np.concatenate(srcs) if srcs else np.empty(0, np.int64)
+        if len(srcs):
+            cnts = np.concatenate(cnts)
+            # row_ptr[v+1] = base + Σ cnt over src ≤ v, for v in (floor, hi]
+            vids = np.arange(floor[pid] + 1, srcs[-1] + 1, dtype=np.int64)
+            csum = np.concatenate([[0], np.cumsum(cnts)])
+            vals = base[pid] + csum[np.searchsorted(srcs, vids, side="right")]
+            vals.astype("<i4").tofile(
+                os.path.join(staging_rp, f"part-{pid:05d}.bin")
+            )
+        yield pd.DataFrame({"pid": [pid]})
+
+    dsrt.mapInPandas(dump_rowptr, "pid int").collect()
+    dsrt.unpersist()
+    # leading row_ptr[0]=0; trailing fill for any dense ids past the last
+    # src (cannot occur after symmetrize, kept as a guard)
+    _concat_chunks(staging_rp, row_ptr_path, lead=np.zeros(1, "<i4").tobytes())
+    if n_v > last_vid + 1:
+        with open(row_ptr_path, "ab") as f:
+            np.full(n_v - last_vid - 1, total_edges, "<i4").tofile(f)

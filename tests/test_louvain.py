@@ -57,3 +57,72 @@ def test_louvain_recovers_islands(spark):
     assert len({labels[isl * size] for isl in range(n_islands)}) == n_islands
     # Q improves monotonically across recorded phases up to the best
     assert mets[0]["Q"] > 0.5
+
+
+def _clique_hierarchy(n_groups=4, cliques_per_group=3, clique_size=4):
+    """Two-level planted structure: cliques (level-1 communities) densely
+    bridged within groups (level-2 communities), weak ring between groups.
+    Recovering the groups REQUIRES a correct phase-2 contraction +
+    original→community remap — a regression fixture for the multi-phase
+    mapping-compose path (ADVICE r1: remap must join on label value, not on
+    the eponymous vertex id)."""
+    edges = []
+    k = cliques_per_group * clique_size
+    for g in range(n_groups):
+        for c in range(cliques_per_group):
+            base = g * k + c * clique_size
+            for i in range(clique_size):
+                for j in range(i + 1, clique_size):
+                    edges.append((base + i, base + j))
+        # dense-ish bridges between cliques of the same group
+        for c in range(cliques_per_group):
+            for c2 in range(c + 1, cliques_per_group):
+                b1, b2 = g * k + c * clique_size, g * k + c2 * clique_size
+                edges.append((b1, b2))
+                edges.append((b1 + 1, b2 + 1))
+        # one weak bridge to the next group
+        edges.append((g * k, ((g + 1) % n_groups) * k))
+    return edges, n_groups, k
+
+
+def test_louvain_multiphase_remap(spark):
+    pairs, n_groups, k = _clique_hierarchy()
+    ec = graph.canonicalize(fixtures.edges_df(spark, pairs))
+    mets = []
+    comm = louvain.louvain(spark, ec, metrics=mets, max_phases=6)
+    labels = {r.vid: r.community for r in comm.collect()}
+    # multi-phase must actually have happened for this to regress-test the
+    # cross-phase remap
+    assert len(mets) >= 2, f"expected >=2 phases, got {mets}"
+    # every group is one community; distinct groups distinct communities
+    for g in range(n_groups):
+        got = {labels[g * k + i] for i in range(k)}
+        assert len(got) == 1, f"group {g} split: {got}"
+    assert len({labels[g * k] for g in range(n_groups)}) == n_groups
+    # returned mapping's Q must equal the best recorded phase Q
+    q = modularity.modularity(
+        spark, ec, comm.select("vid", F.col("community").alias("label"))
+    )
+    assert q == pytest.approx(max(m["Q"] for m in mets), abs=1e-9)
+    # per-phase wall time recorded (FeatureLV analog)
+    assert all(m["wall_s"] > 0 for m in mets)
+
+
+def test_louvain_no_oscillation_when_stay_is_best(spark):
+    """Stay-gain regression (ADVICE r1): a vertex with no neighbor in its
+    current community must use the true stay baseline, not −∞ — otherwise
+    rounds oscillate to the cap. Two triangles + bridge converges in a few
+    rounds, far under the cap."""
+    ec = graph.canonicalize(fixtures.edges_df(spark, fixtures.TWO_TRIANGLES_BRIDGE))
+    mets = []
+    louvain.louvain(spark, ec, metrics=mets, max_rounds_per_phase=20)
+    assert mets[0]["rounds"] < 12, f"oscillation suspected: {mets}"
+
+
+def test_louvain_min_graph_size_stop(spark):
+    pairs, n_islands, size = _islands()
+    ec = graph.canonicalize(fixtures.edges_df(spark, pairs))
+    mets = []
+    louvain.louvain(spark, ec, metrics=mets, min_graph_size=1000)
+    # graph (48 vertices) is already under the floor → exactly one phase
+    assert len(mets) == 1
