@@ -506,14 +506,6 @@ tot AS (SELECT sum(t * t) AS tt FROM (SELECT sum(weight) AS t FROM joined GROUP 
 SELECT round(iw / two_m - tt / (two_m * two_m), 9) AS q FROM inw, tot, m"""
 
 
-def _louvain_communities(spark, sf_dir):
-    from graphanalytics_spark.operators import louvain as louvain_mod
-
-    return louvain_mod.louvain(
-        spark, _graph_sparse(spark, sf_dir), max_phases=4, max_rounds_per_phase=12
-    )
-
-
 def _nhop_2(spark, sf_dir):
     e = _graph_sparse(spark, sf_dir)
     seeds = (
@@ -739,20 +731,79 @@ _NORMS_SQL = """SELECT vec_id,
 FROM embeddings"""
 
 
-# --- non-SQL-expressible (rows-only check; pytest oracles in tests/) ---
+# --- iterative / index operators with derived oracles ---
 
-def _pagerank_converged(spark, sf_dir):
-    return pagerank.pagerank(
-        spark, graph.symmetrize(_graph_full(spark, sf_dir)), tol=1e-6, max_iter=60
-    ).select("vid", F.round("rank", 9).alias("rank"))
-
-
-def _label_propagation(spark, sf_dir):
-    return labelprop.label_propagation(spark, _graph_sparse(spark, sf_dir), max_iter=15)
+def _lpa_2iter(spark, sf_dir):
+    """Label propagation, exactly 2 synchronous sweeps — SQL-unrollable
+    (same technique as _pagerank5_sql), giving the LPA kernel a hard
+    driver oracle; convergence behavior is pytest-gated vs a numpy oracle."""
+    return labelprop.label_propagation(spark, _graph_sparse(spark, sf_dir), max_iter=2)
 
 
-def _mis(spark, sf_dir):
-    return mis.maximal_independent_set(spark, _graph_sparse(spark, sf_dir))
+def _lpa2_sql() -> str:
+    steps = []
+    prev = "l0"
+    for i in range(1, 3):
+        steps.append(
+            f"""n{i} AS (
+  SELECT s.dst AS vid, p.label, sum(s.weight) AS w
+  FROM sym s JOIN {prev} p ON p.vid = s.src GROUP BY 1, 2),
+l{i} AS (
+  SELECT vid, label FROM (
+    SELECT vid, label, row_number() OVER (
+      PARTITION BY vid ORDER BY w DESC, label ASC) AS rn FROM n{i})
+  WHERE rn = 1)"""
+        )
+        prev = f"l{i}"
+    return f"""WITH {_ES}, {_SYM},
+l0 AS (SELECT DISTINCT src AS vid, src AS label FROM sym),
+{", ".join(steps)}
+SELECT vid, label FROM l2"""
+
+
+def _mis_verified(spark, sf_dir):
+    """MIS invariant certificate — the verifyMis analog
+    (/root/reference/mis/src/mis.cpp:371-400) as a 1-row table: both
+    violation counts must be zero, which the SQL oracle states as a
+    constant. The query still runs the full distributed Luby loop."""
+    e = _graph_sparse(spark, sf_dir)
+    m = mis.maximal_independent_set(spark, e)
+    v = mis.verify_mis(spark, e, m)
+    return spark.createDataFrame(
+        [(int(v["independence_violations"]), int(v["maximality_violations"]))],
+        "independence_violations bigint, maximality_violations bigint",
+    )
+
+
+_MIS_VERIFIED_SQL = """SELECT CAST(0 AS BIGINT) AS independence_violations,
+  CAST(0 AS BIGINT) AS maximality_violations"""
+
+
+def _louvain_q(spark, sf_dir):
+    """Louvain quality gate: 1-row (cc_q, louvain_ge_cc). cc_q is the
+    connected-component partition's modularity (independently computable in
+    SQL); louvain_ge_cc asserts the Louvain result's Q is at least that
+    floor — a real optimizer must beat the coarsest sane partition."""
+    from graphanalytics_spark.operators import louvain as louvain_mod
+    from graphanalytics_spark.operators.modularity import modularity
+
+    e = _graph_sparse(spark, sf_dir).persist()
+    comm = louvain_mod.louvain(spark, e, max_phases=4, max_rounds_per_phase=12)
+    q_louvain = modularity(
+        spark, e, comm.select("vid", F.col("community").alias("label"))
+    )
+    cc = components.connected_components(spark, e)
+    q_cc = modularity(spark, e, cc.select("vid", F.col("component").alias("label")))
+    e.unpersist()
+    return spark.createDataFrame(
+        [(round(q_cc, 9), bool(q_louvain >= q_cc))],
+        "cc_q double, louvain_ge_cc boolean",
+    )
+
+
+_LOUVAIN_Q_SQL = _MODULARITY_CC_SQL.replace(
+    "AS q FROM", "AS cc_q, TRUE AS louvain_ge_cc FROM"
+)
 
 
 def _ann_topk(spark, sf_dir):
@@ -761,12 +812,118 @@ def _ann_topk(spark, sf_dir):
     return similarity.ann_lsh_topk(spark, emb, target, k=20)
 
 
-def _ingest_edges(spark, sf_dir):
-    from graphanalytics_spark import fixtures, ingest
+def _ann_band_cols_sql(n_planes=8, n_bands=4, seed=42, dim=64) -> str:
+    """DuckDB band-bucket expressions generated from the SAME hyperplanes
+    as the Spark kernel (numpy PCG64 seeded identically) — the oracle
+    recomputes the LSH buckets bit-for-bit."""
+    from graphanalytics_spark.functions.similarity import _hyperplanes
 
-    repos = spark.createDataFrame(fixtures.generate_repos_pdf(n_repos=50))
+    cols = []
+    for band in range(n_bands):
+        planes = _hyperplanes(dim, n_planes, seed + band)
+        bits = " + ".join(
+            "(CASE WHEN list_dot_product(embedding::DOUBLE[], [{v}]) >= 0 "
+            "THEN {b} ELSE 0 END)".format(
+                v=", ".join(repr(float(x)) for x in h), b=1 << i
+            )
+            for i, h in enumerate(planes)
+        )
+        cols.append(f"({bits}) AS b{band}")
+    return ", ".join(cols)
+
+
+def _ann_sql(k=20, n_bands=4) -> str:
+    bcols = _ann_band_cols_sql(n_bands=n_bands)
+    match = " OR ".join(f"bx.b{b} = t.b{b}" for b in range(n_bands))
+    return f"""WITH bx AS (SELECT vec_id, embedding, {bcols} FROM embeddings),
+t AS (SELECT * FROM bx WHERE vec_id = 0),
+cand AS (SELECT bx.vec_id, bx.embedding FROM bx, t WHERE {match})
+SELECT cand.vec_id, round(
+  CASE WHEN sqrt(list_dot_product(cand.embedding::DOUBLE[], cand.embedding::DOUBLE[])) > 0
+        AND sqrt(list_dot_product(t.embedding::DOUBLE[], t.embedding::DOUBLE[])) > 0
+  THEN list_dot_product(cand.embedding::DOUBLE[], t.embedding::DOUBLE[])
+       / (sqrt(list_dot_product(cand.embedding::DOUBLE[], cand.embedding::DOUBLE[]))
+          * sqrt(list_dot_product(t.embedding::DOUBLE[], t.embedding::DOUBLE[])))
+  ELSE 0.0 END, 8) AS sim
+FROM cand, t ORDER BY sim DESC, cand.vec_id LIMIT {k}"""
+
+
+def _knn_join(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.knn_join_lsh(spark, emb, emb, k=3, exclude_self=True)
+
+
+def _knn_join_sql(k=3, n_bands=4) -> str:
+    bcols = _ann_band_cols_sql(n_bands=n_bands)
+    unions = " UNION ".join(
+        f"SELECT l.vec_id AS lid, l.embedding AS lv, r.vec_id AS rid, r.embedding AS rv "
+        f"FROM bx l JOIN bx r ON l.b{b} = r.b{b} AND l.vec_id != r.vec_id"
+        for b in range(n_bands)
+    )
+    return f"""WITH bx AS (SELECT vec_id, embedding, {bcols} FROM embeddings),
+pairs AS ({unions}),
+scored AS (
+  SELECT lid, rid, round(
+    CASE WHEN sqrt(list_dot_product(lv::DOUBLE[], lv::DOUBLE[])) > 0
+          AND sqrt(list_dot_product(rv::DOUBLE[], rv::DOUBLE[])) > 0
+    THEN list_dot_product(lv::DOUBLE[], rv::DOUBLE[])
+         / (sqrt(list_dot_product(lv::DOUBLE[], lv::DOUBLE[]))
+            * sqrt(list_dot_product(rv::DOUBLE[], rv::DOUBLE[])))
+    ELSE 0.0 END, 8) AS sim
+  FROM pairs)
+SELECT lid, rid, sim, rn FROM (
+  SELECT lid, rid, sim, row_number() OVER (
+    PARTITION BY lid ORDER BY sim DESC, rid ASC) AS rn FROM scored)
+WHERE rn <= {k}"""
+
+
+# --- ingest over a deterministic parquet fixture (oracle reads the same
+#     file via read_parquet) ---
+
+_REPOS_FIXTURE = "/root/repo/.fixtures/repos.parquet"
+
+
+def _ensure_repos_fixture() -> str:
+    """Write the deterministic synthetic repos table (FIXTURES.md §1,
+    seed 42) to parquet so Spark and DuckDB ingest the identical input."""
+    import os
+
+    from graphanalytics_spark import fixtures
+
+    os.makedirs(os.path.dirname(_REPOS_FIXTURE), exist_ok=True)
+    fixtures.generate_repos_pdf(n_repos=50).to_parquet(_REPOS_FIXTURE, index=False)
+    return _REPOS_FIXTURE
+
+
+def _ingest_edges(spark, sf_dir):
+    from graphanalytics_spark import ingest
+
+    repos = spark.read.parquet(_ensure_repos_fixture())
     edges, _dim = ingest.build_edges(repos)
     return edges
+
+
+def _ingest_sql() -> str:
+    path = _ensure_repos_fixture()
+    return f"""WITH repos AS (SELECT * FROM read_parquet('{path}')),
+links AS (
+  SELECT repo AS src_repo, t.tgt AS dst_repo
+  FROM repos, unnest(regexp_extract_all(content, '(repo\\d{{5}})/[\\w/.\\-]*', 1)) AS t(tgt)
+  WHERE repo != t.tgt),
+w AS (SELECT src_repo, dst_repo, CAST(count(*) AS DOUBLE) AS weight
+      FROM links GROUP BY 1, 2),
+dim AS (SELECT repo, CAST(dense_rank() OVER (ORDER BY repo) - 1 AS BIGINT) AS vid
+        FROM (SELECT DISTINCT repo FROM repos))
+SELECT ds.vid AS src, dd.vid AS dst, w.weight
+FROM w JOIN dim ds ON ds.repo = w.src_repo JOIN dim dd ON dd.repo = w.dst_repo"""
+
+
+# --- non-SQL-expressible (rows-only check; pytest oracles in tests/) ---
+
+def _pagerank_converged(spark, sf_dir):
+    return pagerank.pagerank(
+        spark, graph.symmetrize(_graph_full(spark, sf_dir)), tol=1e-6, max_iter=60
+    ).select("vid", F.round("rank", 9).alias("rank"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -804,13 +961,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk_batch": _cosine_topk_batch,
         "token_docfreq": _token_docfreq,
         "embedding_norms": _embedding_norms,
-        # rows-only (iterative / non-SQL-expressible)
-        "pagerank_converged": _pagerank_converged,
-        "label_propagation": _label_propagation,
-        "louvain": _louvain_communities,
-        "mis": _mis,
+        # iterative / index operators with derived oracles
+        "lpa_2iter": _lpa_2iter,
+        "mis_verified": _mis_verified,
+        "louvain_q": _louvain_q,
         "ann_lsh_topk": _ann_topk,
+        "knn_join_lsh": _knn_join,
         "ingest_edges": _ingest_edges,
+        # rows-only (convergence-dependent; gated by pagerank_5iter's
+        # oracle + pytest 1e-6 numpy oracle)
+        "pagerank_converged": _pagerank_converged,
     }
 
 
@@ -849,4 +1009,10 @@ def oracle_sql() -> dict[str, str]:
         "cosine_topk_batch": _COSINE_BATCH_SQL,
         "token_docfreq": _TOKEN_DOCFREQ_SQL,
         "embedding_norms": _NORMS_SQL,
+        "lpa_2iter": _lpa2_sql(),
+        "mis_verified": _MIS_VERIFIED_SQL,
+        "louvain_q": _LOUVAIN_Q_SQL,
+        "ann_lsh_topk": _ann_sql(),
+        "knn_join_lsh": _knn_join_sql(),
+        "ingest_edges": _ingest_sql(),
     }

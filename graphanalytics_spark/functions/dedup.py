@@ -149,10 +149,19 @@ def minhash_lsh_pairs(
     num_perm: int = 16,
     bands: int = 4,
     text_col: str = "text",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs (doc_a < doc_b) sharing at least one
     LSH band bucket (rows per band = num_perm // bands). Follow with
-    ``ngram_jaccard_pairs`` on the candidates for exact filtering."""
+    ``ngram_jaccard_pairs`` on the candidates for exact filtering.
+
+    ``max_bucket_size`` guards the quadratic bucket-local pair blowup: a
+    bucket with B members emits B(B−1)/2 candidates, so one pathological
+    bucket (boilerplate shingles shared corpus-wide) can dominate the
+    output at scale. Buckets above the cap are dropped via one extra
+    window count — their members are near-duplicates of *everything* and
+    belong to an exact-dedup pass, not pairwise verification. None (the
+    default) disables the guard for exact oracle parity."""
     rows = num_perm // bands
     sigs = minhash_signatures(docs, n, num_perm, text_col)
     banded = sigs.select(
@@ -171,6 +180,15 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")
+    if max_bucket_size is not None:
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("band", "bucket")
+        banded = (
+            banded.withColumn("_bsz", F.count("*").over(w))
+            .filter(F.col("_bsz") <= max_bucket_size)
+            .drop("_bsz")
+        )
     l = banded.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
     r = banded.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
     return (

@@ -18,12 +18,28 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
-def similarity_expr(a, b):
-    """Percent similarity 100·(1 − lev(a,b)/greatest(len(a),len(b)))."""
+def similarity_expr(a, b, threshold: float | None = None):
+    """Percent similarity 100·(1 − lev(a,b)/greatest(len(a),len(b))).
+
+    With ``threshold`` known, the per-pair distance cutoff
+    ``floor((100−threshold)·maxLen/100)`` is passed to Spark's 3-arg
+    ``levenshtein`` so the DP band-exits early — the true analog of the
+    reference's banded DP (fuzzymatch_utils.cpp:238-270). Distances beyond
+    the cutoff return −1, mapped to similarity −1 (below any threshold):
+    the boundary is exact because lev > floor(c·maxLen) ⟺ sim < threshold
+    for integer lev."""
     mx = F.greatest(F.length(a), F.length(b))
-    return F.when(mx == 0, F.lit(100.0)).otherwise(
-        100.0 * (1.0 - F.levenshtein(a, b) / mx.cast("double"))
+    if threshold is None:
+        lev = F.levenshtein(a, b).cast("double")
+    else:
+        # call_function: the F.levenshtein wrapper only takes a literal int
+        # threshold, but the SQL function accepts a per-row expression
+        cutoff = F.floor((100.0 - threshold) * mx / 100.0).cast("int")
+        lev = F.call_function("levenshtein", a, b, cutoff).cast("double")
+    sim = F.when(lev >= 0, 100.0 * (1.0 - lev / mx.cast("double"))).otherwise(
+        F.lit(-1.0)
     )
+    return F.when(mx == 0, F.lit(100.0)).otherwise(sim)
 
 
 def fuzzy_match(
@@ -40,7 +56,7 @@ def fuzzy_match(
     qlen = len(query)
     max_dist = F.ceil((100.0 - threshold) * F.greatest(F.length(text_col), F.lit(qlen)) / 100.0)
     band = F.abs(F.length(text_col) - qlen) <= max_dist
-    sim = similarity_expr(F.col(text_col), F.lit(query))
+    sim = similarity_expr(F.col(text_col), F.lit(query), threshold=threshold)
     return (
         patterns.filter(band)
         .select(F.col(id_col).alias("id"), F.round(sim, 6).alias("similarity"))
@@ -61,26 +77,37 @@ def fuzzy_join(
 ) -> DataFrame:
     """All-pairs fuzzy match between two string tables.
 
-    Length-bucketed band join: strings can only match within
-    ``maxDistance`` of each other's length, so we join on coarse length
-    buckets (each left row probes its own bucket ± 1) instead of a cross
-    join — the distributed analog of the reference's band cutoff.
+    Length-bucketed band join: a pair can only reach ``threshold`` when
+    |len_l − len_r| ≤ (100−threshold)·max(len)/100, which bounds the valid
+    right lengths to [len_l·threshold/100, len_l·100/threshold]. Each left
+    row probes exactly the right-side buckets covering that interval
+    (derived from the band, NOT a fixed ±1 — a fixed radius silently drops
+    long-string matches), so the cross product never materializes.
     Returns (left_id, right_id, similarity ≥ threshold).
     """
+    if not 0 < threshold <= 100:
+        raise ValueError("threshold must be in (0, 100]")
     lb = left.select(
         F.col(left_id).alias("lid"),
         F.col(left_text).alias("ltext"),
-        (F.length(left_text) / length_bucket).cast("long").alias("lbucket"),
     )
     rb = right.select(
         F.col(right_id).alias("rid"),
         F.col(right_text).alias("rtext"),
-        (F.length(right_text) / length_bucket).cast("long").alias("rbucket"),
+        F.floor(F.length(right_text) / length_bucket).cast("long").alias("rbucket"),
     )
+    # right lengths compatible with this left row's length under the band
+    lo_len = F.floor(F.length("ltext") * threshold / 100.0)
+    hi_len = F.floor(F.length("ltext") * 100.0 / threshold)
     probes = lb.select(
-        "lid", "ltext", F.explode(
-            F.array(F.col("lbucket") - 1, F.col("lbucket"), F.col("lbucket") + 1)
-        ).alias("rbucket")
+        "lid",
+        "ltext",
+        F.explode(
+            F.sequence(
+                F.floor(lo_len / length_bucket).cast("long"),
+                F.floor(hi_len / length_bucket).cast("long"),
+            )
+        ).alias("rbucket"),
     )
     pairs = probes.join(rb, "rbucket")
     max_dist = F.ceil(
@@ -89,7 +116,7 @@ def fuzzy_join(
         / 100.0
     )
     banded = pairs.filter(F.abs(F.length("ltext") - F.length("rtext")) <= max_dist)
-    sim = similarity_expr(F.col("ltext"), F.col("rtext"))
+    sim = similarity_expr(F.col("ltext"), F.col("rtext"), threshold=threshold)
     return (
         banded.select("lid", "rid", F.round(sim, 6).alias("similarity"))
         .filter(F.col("similarity") >= threshold)

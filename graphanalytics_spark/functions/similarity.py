@@ -144,6 +144,95 @@ def lsh_bucket_expr(vec_col, planes: np.ndarray):
     return out
 
 
+def target_buckets(
+    target: list[float], n_planes: int = 8, n_bands: int = 4, seed: int = 42
+) -> list[int]:
+    """Per-band LSH bucket ids of a probe vector (driver-side numpy —
+    the probe is a single vector)."""
+    tnp = np.asarray(target, dtype=float)
+    out = []
+    for band in range(n_bands):
+        planes = _hyperplanes(len(target), n_planes, seed + band)
+        out.append(int(sum((1 << i) for i, h in enumerate(planes) if tnp @ h >= 0)))
+    return out
+
+
+def ann_band_buckets(
+    embeddings: DataFrame,
+    dim: int,
+    n_planes: int = 8,
+    n_bands: int = 4,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """The ANN index relation: (vec_id, embedding: array<double>, band,
+    bucket) — one row per (vector, band). Buckets are random-hyperplane
+    sign patterns (SimHash for cosine), computed as pure column
+    expressions in a single scan. This is the build side of the
+    reference's population-load / match split
+    (/root/reference/cosinesim/include/cosinesim.hpp:412-418)."""
+    arr = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    entries = [
+        F.struct(
+            F.lit(band).alias("band"),
+            lsh_bucket_expr(arr, _hyperplanes(dim, n_planes, seed + band)).alias(
+                "bucket"
+            ),
+        )
+        for band in range(n_bands)
+    ]
+    return embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        arr.alias("embedding"),
+        F.explode(F.array(*entries)).alias("bb"),
+    ).select("vec_id", "embedding", "bb.band", "bb.bucket")
+
+
+def write_ann_index(
+    embeddings: DataFrame,
+    path: str,
+    n_planes: int = 8,
+    n_bands: int = 4,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Persist the ANN index partitioned by (band, bucket): a probe then
+    reads only its ``n_bands`` matching partitions (~N/2^n_planes rows
+    each) instead of the corpus — partition pruning does the candidate
+    selection at the file-listing level. Rebuild cost is one corpus scan;
+    embeddings are stored alongside so probes re-rank without a join back."""
+    first = embeddings.select(vec_col).first()
+    dim = len(first[0]) if first else 0
+    idx = ann_band_buckets(embeddings, dim, n_planes, n_bands, seed, vec_col, id_col)
+    idx.write.mode("overwrite").partitionBy("band", "bucket").parquet(path)
+
+
+def ann_probe(
+    spark: SparkSession,
+    index_path: str,
+    target: list[float],
+    k: int = 10,
+    n_planes: int = 8,
+    n_bands: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Probe a persisted ANN index: compute the target's per-band buckets
+    driver-side, read ONLY the matching (band, bucket) partitions
+    (partition-pruned scan), dedup candidates, exact cosine re-rank.
+    The probe-side analog of the reference's matchTargetVector
+    (/root/reference/cosinesim/include/cosinesim.hpp:497)."""
+    tb = target_buckets(target, n_planes, n_bands, seed)
+    idx = spark.read.parquet(index_path)
+    cond = None
+    for band, bucket in enumerate(tb):
+        c = (F.col("band") == band) & (F.col("bucket") == bucket)
+        cond = c if cond is None else (cond | c)
+    cand = idx.filter(cond).dropDuplicates(["vec_id"])
+    return cosine_topk(spark, cand, target, k, "embedding", "vec_id")
+
+
 def ann_lsh_topk(
     spark: SparkSession,
     embeddings: DataFrame,
@@ -155,13 +244,12 @@ def ann_lsh_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """Approximate top-K: candidates = vectors sharing ≥1 of ``n_bands``
-    hyperplane-sign buckets with the target; exact cosine re-rank within.
-
-    At scale the bucket columns are precomputed once and the table stored
-    partitioned by (band, bucket) — a probe is then a partition-pruned
-    scan of ~N/2^n_planes rows per band instead of the full corpus.
-    """
+    """One-shot approximate top-K: candidates = vectors sharing ≥1 of
+    ``n_bands`` hyperplane-sign buckets with the target; exact cosine
+    re-rank within. Evaluates the bucket expressions inline (one corpus
+    scan) — for repeated probes against a fixed corpus, build the index
+    once with ``write_ann_index`` and use ``ann_probe`` so each probe is a
+    partition-pruned read instead of a scan."""
     dim = len(target)
     tnp = np.asarray(target, dtype=float)
     cand_filter = None
@@ -175,3 +263,59 @@ def ann_lsh_topk(
         cand_filter = cond if cand_filter is None else (cand_filter | cond)
     candidates = df.filter(cand_filter)
     return cosine_topk(spark, candidates, target, k, vec_col, id_col)
+
+
+def knn_join_lsh(
+    spark: SparkSession,
+    left: DataFrame,
+    right: DataFrame,
+    k: int = 10,
+    n_planes: int = 8,
+    n_bands: int = 4,
+    seed: int = 42,
+    left_vec: str = "embedding",
+    left_id: str = "vec_id",
+    right_vec: str = "embedding",
+    right_id: str = "vec_id",
+    exclude_self: bool = False,
+) -> DataFrame:
+    """All-pairs approximate KNN join: for every left vector, the top-K
+    right vectors by cosine among LSH candidates (sharing ≥1 band bucket).
+    The corpus-vs-corpus analog of the reference's batch cosine mode run
+    per population member (/root/reference/cosinesim/src/cosinesim.cpp:589-680).
+
+    Plan: both sides bucketed with the SAME hyperplanes, equi-join on
+    (band, bucket) — never a cross product; pair dedup, exact re-rank,
+    window top-K per left id. Returns (lid, rid, sim, rn).
+
+    Scale note: bucket-local pair generation is quadratic within a bucket;
+    with ``n_planes`` tuned so the hottest bucket holds ≲ 10⁴ rows the join
+    output stays bounded. ``exclude_self`` drops lid==rid pairs for
+    self-join dedup use."""
+    first = left.select(left_vec).first()
+    dim = len(first[0]) if first else 0
+    lb = ann_band_buckets(
+        left, dim, n_planes, n_bands, seed, left_vec, left_id
+    ).select(
+        F.col("vec_id").alias("lid"), F.col("embedding").alias("lv"), "band", "bucket"
+    )
+    rb = ann_band_buckets(
+        right, dim, n_planes, n_bands, seed, right_vec, right_id
+    ).select(
+        F.col("vec_id").alias("rid"), F.col("embedding").alias("rv"), "band", "bucket"
+    )
+    pairs = lb.join(rb, ["band", "bucket"]).select("lid", "lv", "rid", "rv")
+    if exclude_self:
+        pairs = pairs.filter(F.col("lid") != F.col("rid"))
+    pairs = pairs.dropDuplicates(["lid", "rid"])
+    scored = pairs.select(
+        "lid",
+        "rid",
+        F.round(cosine_sim_col(F.col("lv"), F.col("rv")), 8).alias("sim"),
+    )
+    w = Window.partitionBy("lid").orderBy(F.desc("sim"), F.asc("rid"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("lid", "rid", "sim", "rn")
+    )

@@ -102,17 +102,59 @@ def vertex_following(edges_canon: DataFrame) -> DataFrame:
     (``vertexFollowing`` pre-pass analog,
     /root/reference/grappolo/src/vertexFollowing.cpp:46-88). Returns a
     mapping (vid, rep) where rep is the vertex it merges into (rep==vid for
-    vertices that stay)."""
+    vertices that stay). Single pass, like the reference: a chain of
+    degree-1 vertices collapses one link per application.
+
+    Isolated-pair rule: when BOTH endpoints of an isolated edge have
+    degree 1 they would merge into each other (a 2-cycle); the smaller id
+    stays, matching the reference's sequential scan order (the earlier
+    vertex claims the later one)."""
     sym = symmetrize(edges_canon)
     deg = sym.groupBy(F.col("src").alias("vid")).agg(
         F.count("*").alias("degree"), F.min("dst").alias("only_neighbor")
     )
-    return deg.select(
-        "vid",
-        F.when(F.col("degree") == 1, F.col("only_neighbor"))
-        .otherwise(F.col("vid"))
-        .alias("rep"),
+    nbr_deg = deg.select(
+        F.col("vid").alias("only_neighbor"), F.col("degree").alias("nbr_degree")
     )
+    merges = (
+        F.col("degree") == 1
+    ) & (
+        (F.col("nbr_degree") > 1) | (F.col("only_neighbor") < F.col("vid"))
+    )
+    return deg.join(nbr_deg, "only_neighbor").select(
+        "vid",
+        F.when(merges, F.col("only_neighbor")).otherwise(F.col("vid")).alias("rep"),
+    )
+
+
+def vertex_following_contract(spark, edges_canon: DataFrame):
+    """APPLY the vertex-following mapping (the step the reference pre-pass
+    performs before Louvain, vertexFollowing.cpp:90-150): relabel both
+    endpoints through (vid → rep), contract parallel edges, keep the
+    self-loops created by the collapse (they carry the merged edge weight
+    into the modularity bookkeeping). Returns
+    ``(collapsed_edges, vid_to_cid)`` where collapsed_edges is a canonical
+    edge table over dense contracted ids and vid_to_cid maps every original
+    vertex into that id space. Compose a downstream community result back
+    with ``compose_through``."""
+    from graphanalytics_spark.operators.contraction import (
+        contract_graph,
+        renumber_labels,
+    )
+
+    labels = vertex_following(edges_canon).select(
+        "vid", F.col("rep").alias("label")
+    )
+    collapsed = contract_graph(spark, edges_canon, labels)
+    v2c = renumber_labels(labels)  # (vid, cid) over ALL original vertices
+    return collapsed, v2c
+
+
+def compose_through(v2c: DataFrame, result: DataFrame, value_col: str) -> DataFrame:
+    """Pull a per-vertex result computed on a contracted graph back to the
+    original id space: (vid, cid) ⋈ (vid=cid, value) → (vid, value)."""
+    r = result.select(F.col("vid").alias("cid"), F.col(value_col))
+    return v2c.join(r, "cid").select("vid", value_col)
 
 
 def salted_sum(
@@ -124,8 +166,16 @@ def salted_sum(
     traffic, /root/reference/louvainmod/src/partitionLouvain.cpp:988-1110):
     instead of dropping hub neighbors we split the hub's incoming stream
     across ``salt_buckets`` reducers and combine.
+
+    The salt hashes the full row content (NOT monotonically_increasing_id,
+    which differs across task retries): deterministic under speculative
+    execution and replays; identical rows share a bucket, which still
+    spreads a hub key's stream because its rows differ in the other columns.
     """
-    salted = df.withColumn("_salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets)))
+    salted = df.withColumn(
+        "_salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt_buckets)),
+    )
     partial = salted.groupBy(key, "_salt").agg(F.sum(value).alias("_partial"))
     return partial.groupBy(key).agg(F.sum("_partial").alias(out))
 

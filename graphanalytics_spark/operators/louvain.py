@@ -206,6 +206,7 @@ def louvain(
     seed: int = 42,
     metrics: list | None = None,
     min_graph_size: int = 0,
+    vertex_following: bool = False,
 ) -> DataFrame:
     """Multi-phase Louvain. Returns DataFrame(vid: long, community: long)
     over original vertex ids. ``metrics`` (optional list) collects
@@ -213,8 +214,31 @@ def louvain(
     FeatureLV per-phase record (xilinxlouvainInternal.h:235-253).
     ``min_graph_size`` stops phasing once the contracted graph has that few
     vertices or fewer (the reference's minGraphSize stop,
-    louvainPhase.cpp:2187-2196); 0 disables the check."""
+    louvainPhase.cpp:2187-2196); 0 disables the check.
+    ``vertex_following`` applies the degree-1-collapse pre-pass first and
+    composes the result back (the reference's vertexFollowing option,
+    grappolo/src/vertexFollowing.cpp:46-88)."""
     from graphanalytics_spark.operators.contraction import renumber_map
+
+    if vertex_following:
+        from graphanalytics_spark.graph import (
+            compose_through,
+            vertex_following_contract,
+        )
+
+        collapsed, v2c = vertex_following_contract(spark, edges_canon)
+        comm = louvain(
+            spark,
+            collapsed,
+            max_phases=max_phases,
+            max_rounds_per_phase=max_rounds_per_phase,
+            min_gain=min_gain,
+            seed=seed,
+            metrics=metrics,
+            min_graph_size=min_graph_size,
+            vertex_following=False,
+        )
+        return compose_through(v2c, comm, "community")
 
     truncator = LineageTruncator(spark, hard_every=2)
     g = edges_canon

@@ -37,12 +37,13 @@ def n_hop(
         else symmetrize(edges_canon).select("src", "dst")
     ).persist()
 
-    reached = seeds.select(
+    frontier = seeds.select(
         F.col(seeds.columns[0]).alias("seed"),
         F.col(seeds.columns[0]).alias("vid"),
         F.lit(0).alias("hop"),
     ).persist()
-    frontier = reached
+    generations = [frontier]  # persisted per-hop slices; reached = union
+    reached = frontier
 
     for h in range(1, hops + 1):
         expanded = (
@@ -54,8 +55,15 @@ def n_hop(
             reached.select("seed", "vid"), ["seed", "vid"], "left_anti"
         ).persist()
         if new_frontier.isEmpty():
+            new_frontier.unpersist()
             break
-        reached = reached.union(new_frontier).persist()
+        generations.append(new_frontier)
+        reached = reached.union(new_frontier)  # union of cached slices
         frontier = new_frontier
+    # detach the result from the cached generations, then free them all —
+    # no cache creep proportional to `hops` outlives the call
+    out = reached.localCheckpoint(eager=True)
+    for g in generations:
+        g.unpersist()
     adj.unpersist()
-    return reached
+    return out

@@ -162,3 +162,34 @@ def test_multimodal_plumbing(spark):
     assert plan.filter("ts_ms % 5000 != 0").count() == 0
     with pytest.raises(multimodal.DecodeUnavailable):
         multimodal.decode_image(b"xx")
+
+
+def test_fuzzy_join_long_strings_wide_length_gap(spark):
+    """Regression (ADVICE r1): the probe radius must derive from the band —
+    long strings with a length gap far beyond one bucket are still valid
+    matches at lower thresholds and must not be dropped."""
+    from graphanalytics_spark.functions import fuzzymatch
+
+    base = "abcdefghij" * 20               # 200 chars
+    longer = base + "x" * 40               # 240 chars: gap 40 > 3 buckets
+    left = spark.createDataFrame([(1, base)], "id long, text string")
+    right = spark.createDataFrame([(2, longer), (3, "zz")], "id long, text string")
+    got = fuzzymatch.fuzzy_join(spark, left, right, threshold=80.0).collect()
+    assert [(r.lid, r.rid) for r in got] == [(1, 2)]
+    # sim = 100*(1 - 40/240)
+    assert got[0].similarity == pytest.approx(round(100 * (1 - 40 / 240), 6))
+
+
+def test_fuzzy_match_cutoff_boundary(spark):
+    """3-arg levenshtein early-cutoff must be exact at the threshold
+    boundary: sim == threshold is kept, one more edit is dropped."""
+    from graphanalytics_spark.functions import fuzzymatch
+
+    # query length 10; threshold 80 → max_dist = 2 exactly
+    pats = spark.createDataFrame(
+        [(1, "abcdefghij"), (2, "abcdefghXY"), (3, "abcdefgXYZ")],
+        "id long, pattern string",
+    )
+    got = {r.id: r.similarity for r in
+           fuzzymatch.fuzzy_match(spark, pats, "abcdefghij", threshold=80.0).collect()}
+    assert got == {1: 100.0, 2: 80.0}

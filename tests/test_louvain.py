@@ -57,6 +57,16 @@ def test_louvain_recovers_islands(spark):
     assert len({labels[isl * size] for isl in range(n_islands)}) == n_islands
     # Q improves monotonically across recorded phases up to the best
     assert mets[0]["Q"] > 0.5
+    # achieved Q equals the planted partition's Q from the independent
+    # numpy oracle (the reference's islands-test shape,
+    # louvainmod/tests/islands.h:19-52): exact recovery ⇒ exact Q
+    from tests.oracles import modularity_np
+
+    planted = {isl * size + i: isl for isl in range(n_islands) for i in range(size)}
+    canon = [(r.src, r.dst, r.weight) for r in ec.collect()]
+    q_planted = modularity_np(canon, planted)
+    q_best = max(m["Q"] for m in mets)
+    assert q_best == pytest.approx(q_planted, abs=1e-9)
 
 
 def _clique_hierarchy(n_groups=4, cliques_per_group=3, clique_size=4):
