@@ -45,3 +45,24 @@ def test_partial_aggregation_before_exchange(spark):
     # partial + final hash aggregate: map-side combine absorbs hub skew
     first_agg = plan.index("HashAggregate")
     assert "HashAggregate" in plan[first_agg + 10 :]
+
+
+def test_fuzzy_join_has_no_cartesian_product(spark):
+    from graphanalytics_spark.functions import fuzzymatch
+
+    left = spark.createDataFrame([(1, "abcdef")], "id long, text string")
+    right = spark.createDataFrame([(2, "abcdeg")], "id long, text string")
+    plan = _plan(fuzzymatch.fuzzy_join(spark, left, right, threshold=80.0))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_knn_join_lsh_is_bucket_equijoin(spark):
+    from graphanalytics_spark.functions import similarity
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = _plan(similarity.knn_join_lsh(spark, emb, emb, k=3, exclude_self=True))
+    # candidates come from an equi-join on (band, bucket) — any hash or
+    # sort-merge strategy is fine, but never a cross product
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
