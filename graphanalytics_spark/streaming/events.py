@@ -51,6 +51,71 @@ def windowed_event_counts_batch(events: DataFrame, window: str = "1 hour") -> Da
     )
 
 
+def sessionize_stream(events: DataFrame, gap_s: int = 1800) -> DataFrame:
+    """Custom stateful operator: per-user sessionization via
+    ``applyInPandasWithState`` (Arrow-batched, no per-row Python) — the
+    'custom stateful streaming operator' capability. A session closes after
+    ``gap_s`` seconds of inactivity; state carries (last_ts, n_sessions,
+    n_events) per user across micro-batches.
+
+    Within a micro-batch, the group's events are sorted by event time
+    before folding; across batches the fold assumes micro-batches arrive in
+    event-time order (true for file sources reading time-partitioned
+    drops; for out-of-order sources pair with a watermark-sized gap).
+    Output mode: update — one row per user per batch with running totals.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        if state.exists:
+            last_ts, n_sessions, n_events = state.get
+        else:
+            last_ts, n_sessions, n_events = None, 0, 0
+        ts_all = []
+        for pdf in pdfs:
+            ts_all.append(pdf["ts_epoch"])
+        if ts_all:
+            ts = pd.concat(ts_all).sort_values().to_numpy()
+            for t in ts:
+                t = float(t)
+                if last_ts is None or t - last_ts > gap_s:
+                    n_sessions += 1
+                last_ts = t
+                n_events += 1
+        state.update((last_ts, int(n_sessions), int(n_events)))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_sessions": [n_sessions], "n_events": [n_events]}
+        )
+
+    prepared = events.withColumn(
+        "ts_epoch", F.unix_timestamp(F.col("ts").cast("timestamp")).cast("double")
+    )
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType="user_id long, n_sessions bigint, n_events bigint",
+        stateStructType="last_ts double, n_sessions bigint, n_events bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_to_update_sink(stream_df: DataFrame, tmpdir: str, name: str) -> DataFrame:
+    """Drain an update-mode stream (stateful operators cannot run in
+    complete mode) with availableNow into a memory sink."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", tmpdir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.sql(f"SELECT * FROM {name}")
+
+
 def run_to_completion(stream_df: DataFrame, tmpdir: str) -> DataFrame:
     """Drain a file-backed stream with availableNow into an in-memory sink
     and return the result as a batch DataFrame (test/bench harness)."""

@@ -29,3 +29,47 @@ def test_windowed_counts_batch_parity(spark, tmp_path):
     expected = expected.sort_values(key).reset_index(drop=True)
     assert len(got) == len(expected)
     assert (got["n_events"].values == expected["n_events"].values).all()
+
+
+def test_sessionize_stream_batch_parity(spark, tmp_path):
+    """applyInPandasWithState sessionization drained with availableNow must
+    equal the batch window/lag sessionizer over the same events."""
+    import shutil
+
+    from pyspark.sql.window import Window
+
+    src_dir = tmp_path / "events_dir2"
+    src_dir.mkdir()
+    shutil.copy(
+        "/root/testdata/sf0.001/events.parquet", src_dir / "part-0.parquet"
+    )
+    batch = spark.read.parquet(str(src_dir))
+    stream = sev.read_events_stream(spark, str(src_dir), batch.schema)
+    got = (
+        sev.run_to_update_sink(
+            sev.sessionize_stream(stream, gap_s=1800),
+            str(tmp_path / "ckpt2"),
+            "ga_sessions",
+        )
+        .toPandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap = F.unix_timestamp(F.col("ts").cast("timestamp")) - F.unix_timestamp(
+        F.lag(F.col("ts").cast("timestamp")).over(w)
+    )
+    expected = (
+        batch.withColumn(
+            "is_new", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+        )
+        .groupBy("user_id")
+        .agg(F.sum("is_new").alias("n_sessions"), F.count("*").alias("n_events"))
+        .toPandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(expected)
+    assert (got["n_sessions"].values == expected["n_sessions"].values).all()
+    assert (got["n_events"].values == expected["n_events"].values).all()
