@@ -630,6 +630,66 @@ FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
 WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.5"""
 
 
+def _simhash_near(spark, sf_dir):
+    """SimHash banded near-pairs over a corpus with PLANTED near-duplicates
+    (4 deterministic truncation variants per doc — the base corpus has no
+    near-dups, which would make this a vacuous 0-row gate)."""
+    docs = _t(spark, sf_dir, "documents")
+    variants = docs.select(
+        "doc_id", "text", F.explode(F.sequence(F.lit(0), F.lit(3))).alias("v")
+    ).select(
+        (F.col("doc_id") * 4 + F.col("v")).alias("doc_id"),
+        F.expr("substring(text, 1, length(text) - v * 2)").alias("text"),
+    )
+    return dedup.simhash_near_pairs(spark, variants, max_hamming=10, bands=4).select(
+        "doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
+def _simhash_near_sql(max_hamming: int = 10) -> str:
+    corpus_norm = _NORM  # operates on the variant `text` column
+    votes_lo = ", ".join(
+        f"sum(CASE WHEN (hlo >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(32)
+    )
+    votes_hi = ", ".join(
+        f"sum(CASE WHEN (hhi >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{32 + j}"
+        for j in range(32)
+    )
+    lo = " + ".join(
+        f"(CASE WHEN v{j} > 0 THEN 1::BIGINT ELSE 0 END << {j})" for j in range(32)
+    )
+    hi = " + ".join(
+        f"(CASE WHEN v{32 + j} > 0 THEN 1::BIGINT ELSE 0 END << {j})"
+        for j in range(32)
+    )
+    ham = "bit_count(xor(x_lo, y_lo)) + bit_count(xor(x_hi, y_hi))"
+    return f"""WITH corpus AS (
+  SELECT doc_id * 4 + t.v AS doc_id,
+         substr(text, 1, length(text) - t.v * 2) AS text
+  FROM documents, unnest([0, 1, 2, 3]) AS t(v)),
+toks AS (
+  SELECT DISTINCT doc_id, t.tok FROM corpus,
+  unnest(regexp_split_to_array({corpus_norm}, '\\s+')) AS t(tok)),
+h AS (SELECT doc_id,
+  CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS hlo,
+  CAST(('0x' || substr(md5(tok), 9, 8)) AS BIGINT) AS hhi FROM toks),
+votes AS (SELECT doc_id, {votes_lo}, {votes_hi} FROM h GROUP BY doc_id),
+words AS (SELECT doc_id, {lo} AS lo, {hi} AS hi FROM votes),
+chunks AS (
+  SELECT doc_id, lo, hi, b.band,
+    CASE b.band WHEN 0 THEN lo & 65535 WHEN 1 THEN (lo >> 16) & 65535
+                WHEN 2 THEN hi & 65535 ELSE (hi >> 16) & 65535 END AS bucket
+  FROM words, unnest([0, 1, 2, 3]) AS b(band)),
+pairs AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         x.lo AS x_lo, x.hi AS x_hi, y.lo AS y_lo, y.hi AS y_hi
+  FROM chunks x JOIN chunks y
+    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id)
+SELECT doc_a, doc_b, CAST({ham} AS BIGINT) AS hamming
+FROM pairs WHERE {ham} <= {max_hamming}"""
+
+
 def _minhash_pairs(spark, sf_dir):
     return dedup.minhash_lsh_pairs(
         spark, _t(spark, sf_dir, "documents"), n=3, num_perm=16, bands=4
@@ -956,6 +1016,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_simhash": _doc_simhash,
         "ngram_jaccard_pairs": _ngram_jaccard,
         "minhash_lsh_pairs": _minhash_pairs,
+        "simhash_near_pairs": _simhash_near,
         "fuzzy_match": _fuzzy_match,
         "cosine_topk": _cosine_topk,
         "cosine_topk_batch": _cosine_topk_batch,
@@ -1004,6 +1065,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_simhash": _simhash_sql(),
         "ngram_jaccard_pairs": _JACCARD_SQL,
         "minhash_lsh_pairs": _minhash_sql(),
+        "simhash_near_pairs": _simhash_near_sql(),
         "fuzzy_match": _FUZZY_SQL,
         "cosine_topk": _COSINE_SQL,
         "cosine_topk_batch": _COSINE_BATCH_SQL,

@@ -1,15 +1,15 @@
 """Corpus-scale fuzzy-match benchmark (VERDICT r1 #7).
 
-Edit-distance joins are inherently near-quadratic inside a length band, so
-the 100 TB answer is composition: LSH candidates first, exact Levenshtein
-verify second — both engine operators. This tool times that pipeline on a
-10^5-string corpus derived deterministically from the driver's ``documents``
-table (each doc expanded into 20 near-duplicate variants via fixed edits),
-plus the banded ``fuzzy_join`` on a 2·10^4 subset for comparison.
+Edit-distance joins are inherently near-quadratic inside a length band —
+with a same-length corpus the band prunes nothing, which is a property of
+the problem, not the plan. The 100 TB answer is composition: LSH candidates
+first, exact banded-Levenshtein verify second — both engine operators. This
+tool times that pipeline on a 10^5-string corpus derived deterministically
+from the driver's ``documents`` table (each doc expanded into 20
+near-duplicate variants via fixed truncation edits), plus the direct banded
+``fuzzy_join`` on a 10^4 subset for comparison.
 
-Prints one JSON line:
-  {"corpus": N, "candidates": C, "verified": V,
-   "lsh_s": ..., "verify_s": ..., "banded_join_s": ..., "banded_pairs": ...}
+Prints one JSON line with stage timings; progress goes to stderr.
 
 Usage: python tools/bench_fuzzy.py [sf_dir]
 """
@@ -29,15 +29,17 @@ from graphanalytics_spark.functions import dedup, fuzzymatch
 from graphanalytics_spark.session import get_spark
 
 
-def variants(docs, per_doc: int = 20, maxlen: int = 80):
-    """Deterministic near-duplicate corpus: variant v of a doc truncates to
-    ``maxlen`` chars then drops v%7 trailing chars and appends v%3 'x's —
-    edit distance ≤ 9 within a cluster, >> across clusters."""
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def variants(docs, per_doc: int = 20):
+    """Deterministic near-duplicate corpus: variant v of a doc drops v%7
+    trailing chars and appends v%3 'x's — edit distance ≤ 9 within a
+    cluster, large across clusters."""
     v = F.explode(F.sequence(F.lit(0), F.lit(per_doc - 1))).alias("v")
-    base = F.substring("text", 1, maxlen)
     mutated = F.concat(
-        F.expr(f"substring(substring(text, 1, {maxlen}), 1, "
-               f"length(substring(text, 1, {maxlen})) - (v % 7))"),
+        F.expr("substring(text, 1, length(text) - (v % 7))"),
         F.expr("repeat('x', v % 3)"),
     )
     return docs.select("doc_id", "text", v).select(
@@ -55,6 +57,7 @@ def main():
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
     corpus = variants(docs).persist()
     n = corpus.count()
+    log(f"corpus: {n}")
 
     # stage 1: LSH candidates (hot-bucket guard on — boilerplate clusters
     # are exactly what the cap is for)
@@ -64,6 +67,7 @@ def main():
     ).persist()
     n_cand = cand.count()
     lsh_s = time.monotonic() - t0
+    log(f"lsh candidates: {n_cand} in {lsh_s:.1f}s")
 
     # stage 2: exact banded-Levenshtein verify on candidates only
     t0 = time.monotonic()
@@ -78,9 +82,11 @@ def main():
     )
     n_ver = verified.count()
     verify_s = time.monotonic() - t0
+    log(f"verified: {n_ver} in {verify_s:.1f}s")
 
-    # comparison: banded fuzzy_join directly on a 20k subset
-    sub = corpus.filter(F.col("doc_id") % 5 == 0).persist()
+    # comparison: banded fuzzy_join directly on a 10k subset (threshold 90
+    # keeps the probe radius ±~11% of each length)
+    sub = corpus.filter(F.col("doc_id") % 10 == 0).persist()
     n_sub = sub.count()
     t0 = time.monotonic()
     bj = fuzzymatch.fuzzy_join(
@@ -93,6 +99,7 @@ def main():
     ).filter(F.col("lid") < F.col("rid"))
     n_bj = bj.count()
     banded_s = time.monotonic() - t0
+    log(f"banded join: {n_bj} pairs over {n_sub} rows in {banded_s:.1f}s")
 
     print(json.dumps({
         "corpus": n, "candidates": n_cand, "verified": n_ver,
