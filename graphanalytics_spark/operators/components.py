@@ -99,9 +99,10 @@ def connected_components(
                 (F.col("new_label") != F.col("label")).alias("changed"),
             )
         )
-        # per-iteration lineage truncation (plans/truncate.py: eager
-        # localCheckpoint + periodic hard parquet reset — chained
-        # localCheckpoints alone still degrade exponentially in Spark 4.1)
+        # per-iteration lineage truncation (plans/truncate.py: lazy
+        # localCheckpoint piggybacking on the count below + periodic hard
+        # parquet reset — chained localCheckpoints alone still degrade
+        # exponentially in Spark 4.1)
         new_state = truncator.truncate(new_state, it)
         n_changed = new_state.filter("changed").count()
         state.unpersist()

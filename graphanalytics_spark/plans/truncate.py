@@ -41,13 +41,20 @@ class LineageTruncator:
         self._count = 0
 
     def truncate(self, df: DataFrame, iteration: int) -> DataFrame:
-        """Return an equivalent DataFrame with truncated lineage."""
+        """Return an equivalent DataFrame with truncated lineage.
+
+        The soft path is a LAZY localCheckpoint: every caller in this
+        engine runs a full action (convergence agg / count) on the result
+        immediately after truncating, and a lazy checkpoint piggybacks on
+        that job — one scheduling round per iteration instead of two.
+        (Spark recomputes any partition a partial action skipped when the
+        checkpoint finalizes, so laziness never changes semantics.)"""
         self._count += 1
         if self.hard_every and iteration % self.hard_every == 0:
             path = f"{self.base_dir}/it_{iteration:06d}_{self._count}"
             df.write.mode("overwrite").parquet(path)
             return self.spark.read.parquet(path)
-        return df.localCheckpoint(eager=True)
+        return df.localCheckpoint(eager=False)
 
     def cleanup(self):
         shutil.rmtree(self.base_dir, ignore_errors=True)
