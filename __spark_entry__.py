@@ -908,6 +908,24 @@ SELECT cand.vec_id, round(
 FROM cand, t ORDER BY sim DESC, cand.vec_id LIMIT {k}"""
 
 
+def _ann_probe_topk(spark, sf_dir):
+    """Persisted-index ANN path: build (or reuse) the (band, bucket)-
+    partitioned index for this sf_dir, probe partition-pruned, exact
+    re-rank. Same candidate semantics as ann_lsh_topk, so the same
+    generated DuckDB oracle applies — the driver row gates the index
+    build+probe code path specifically."""
+    import hashlib
+    import os
+
+    emb = _t(spark, sf_dir, "embeddings")
+    target = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    path = f"/root/repo/.fixtures/ann_index_{tag}"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        similarity.write_ann_index(emb, path)
+    return similarity.ann_probe(spark, path, target, k=15)
+
+
 def _knn_join(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.knn_join_lsh(spark, emb, emb, k=3, exclude_self=True)
@@ -1027,6 +1045,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mis_verified": _mis_verified,
         "louvain_q": _louvain_q,
         "ann_lsh_topk": _ann_topk,
+        "ann_probe_topk": _ann_probe_topk,
         "knn_join_lsh": _knn_join,
         "ingest_edges": _ingest_edges,
         # rows-only (convergence-dependent; gated by pagerank_5iter's
@@ -1075,6 +1094,7 @@ def oracle_sql() -> dict[str, str]:
         "mis_verified": _MIS_VERIFIED_SQL,
         "louvain_q": _LOUVAIN_Q_SQL,
         "ann_lsh_topk": _ann_sql(),
+        "ann_probe_topk": _ann_sql(k=15),
         "knn_join_lsh": _knn_join_sql(),
         "ingest_edges": _ingest_sql(),
     }
