@@ -782,6 +782,39 @@ _TOKEN_DOCFREQ_SQL = f"""SELECT token, count(*) AS doc_freq FROM (
 GROUP BY token ORDER BY doc_freq DESC, token LIMIT 50"""
 
 
+def _multimodal_payload_stats(spark, sf_dir):
+    """Binary-column (multimodal) plumbing gate: a payload corpus derived
+    from documents (payload = UTF-8 bytes of text, modality by doc_id%3),
+    run through functions.multimodal.payload_stats — byte length + sha256
+    over the BINARY column, plus a 4-char header peek. Exercises binary
+    column expressions end-to-end with a DuckDB oracle; the codec step
+    itself is container-stubbed (multimodal.py)."""
+    from graphanalytics_spark.functions import multimodal
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("modality"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.substring("text", 1, 4).alias("head4"),
+    )
+    return multimodal.payload_stats(media).join(
+        media.select("media_id", F.hex(F.encode("head4", "UTF-8")).alias("header_hex")),
+        "media_id",
+    )
+
+
+_MULTIMODAL_SQL = """SELECT doc_id AS media_id,
+  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+  octet_length(encode(text)) AS payload_bytes,
+  sha256(text) AS payload_sha256,
+  hex(encode(substring(text, 1, 4))) AS header_hex
+FROM documents"""
+
+
 def _embedding_norms(spark, sf_dir):
     return similarity.embedding_norms(_t(spark, sf_dir, "embeddings"))
 
@@ -1040,6 +1073,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk_batch": _cosine_topk_batch,
         "token_docfreq": _token_docfreq,
         "embedding_norms": _embedding_norms,
+        "multimodal_payload_stats": _multimodal_payload_stats,
         # iterative / index operators with derived oracles
         "lpa_2iter": _lpa_2iter,
         "mis_verified": _mis_verified,
@@ -1090,6 +1124,7 @@ def oracle_sql() -> dict[str, str]:
         "cosine_topk_batch": _COSINE_BATCH_SQL,
         "token_docfreq": _TOKEN_DOCFREQ_SQL,
         "embedding_norms": _NORMS_SQL,
+        "multimodal_payload_stats": _MULTIMODAL_SQL,
         "lpa_2iter": _lpa2_sql(),
         "mis_verified": _MIS_VERIFIED_SQL,
         "louvain_q": _LOUVAIN_Q_SQL,
