@@ -1029,6 +1029,109 @@ SELECT ds.vid AS src, dd.vid AS dst, w.weight
 FROM w JOIN dim ds ON ds.repo = w.src_repo JOIN dim dd ON dd.repo = w.dst_repo"""
 
 
+# --- file-format parser gates over deterministic format fixtures ---
+# (the reader suite is the reference's parser dispatch, SURVEY §2.1; these
+# rows gate the actual reader code paths — including duplicate-line
+# preservation in MatrixMarket — against a DuckDB read_text parse)
+
+_MTX_FIXTURE = "/root/repo/.fixtures/graph.mtx"
+_SNAP_FIXTURE = "/root/repo/.fixtures/graph.snap"
+_DIMACS9_FIXTURE = "/root/repo/.fixtures/graph.gr"
+
+
+def _ensure_format_fixtures() -> None:
+    import os
+
+    os.makedirs("/root/repo/.fixtures", exist_ok=True)
+    # MatrixMarket: comments, size header, duplicate line, negative weight,
+    # a body line identical to the header text (all the r1 bug triggers)
+    with open(_MTX_FIXTURE, "w") as f:
+        f.write(
+            "%%MatrixMarket matrix coordinate real general\n"
+            "% generated fixture\n"
+            "6 6 7\n"
+            "1 2 1.5\n"
+            "1 2 1.5\n"
+            "2 3 -2.0\n"
+            "3 4 1.0\n"
+            "4 5\n"
+            "5 6 0.25\n"
+            "6 6 7\n"
+        )
+    with open(_SNAP_FIXTURE, "w") as f:
+        f.write(
+            "# Directed graph\n# src dst\n"
+            + "".join(f"{a} {b}\n" for a, b in [(0, 1), (1, 2), (2, 0), (3, 1)])
+        )
+    with open(_DIMACS9_FIXTURE, "w") as f:
+        f.write(
+            "c example\np sp 4 4\n"
+            + "".join(
+                f"a {a} {b} {w}\n"
+                for a, b, w in [(1, 2, 3.5), (2, 3, 1.0), (3, 1, 2.0), (4, 2, 8.0)]
+            )
+        )
+
+
+_LINES_SQL = """lines AS (
+  SELECT generate_subscripts(ls, 1) AS i, unnest(ls) AS ln
+  FROM (SELECT string_split(content, chr(10)) AS ls FROM read_text('{path}')))"""
+
+
+def _read_mtx_fixture(spark, sf_dir):
+    from graphanalytics_spark.sources import readers
+
+    _ensure_format_fixtures()
+    return readers.read_matrix_market(spark, _MTX_FIXTURE)
+
+
+def _mtx_fixture_sql() -> str:
+    _ensure_format_fixtures()
+    return f"""WITH {_LINES_SQL.format(path=_MTX_FIXTURE)},
+nc AS (SELECT i, trim(ln) AS ln FROM lines
+       WHERE NOT starts_with(ln, '%') AND trim(ln) != ''),
+body AS (SELECT ln FROM nc WHERE i > (SELECT min(i) FROM nc))
+SELECT CAST(split_part(ln, ' ', 1) AS BIGINT) - 1 AS src,
+       CAST(split_part(ln, ' ', 2) AS BIGINT) - 1 AS dst,
+       abs(coalesce(CAST(nullif(split_part(ln, ' ', 3), '') AS DOUBLE), 1.0)) AS weight
+FROM body"""
+
+
+def _read_snap_fixture(spark, sf_dir):
+    from graphanalytics_spark.sources import readers
+
+    _ensure_format_fixtures()
+    return readers.read_snap(spark, _SNAP_FIXTURE)
+
+
+def _snap_fixture_sql() -> str:
+    _ensure_format_fixtures()
+    return f"""WITH {_LINES_SQL.format(path=_SNAP_FIXTURE)},
+body AS (SELECT trim(ln) AS ln FROM lines
+         WHERE NOT starts_with(ln, '#') AND trim(ln) != '')
+SELECT CAST(split_part(ln, ' ', 1) AS BIGINT) AS src,
+       CAST(split_part(ln, ' ', 2) AS BIGINT) AS dst,
+       1.0 AS weight
+FROM body"""
+
+
+def _read_dimacs9_fixture(spark, sf_dir):
+    from graphanalytics_spark.sources import readers
+
+    _ensure_format_fixtures()
+    return readers.read_dimacs9(spark, _DIMACS9_FIXTURE)
+
+
+def _dimacs9_fixture_sql() -> str:
+    _ensure_format_fixtures()
+    return f"""WITH {_LINES_SQL.format(path=_DIMACS9_FIXTURE)},
+body AS (SELECT trim(ln) AS ln FROM lines WHERE starts_with(ln, 'a '))
+SELECT CAST(split_part(ln, ' ', 2) AS BIGINT) - 1 AS src,
+       CAST(split_part(ln, ' ', 3) AS BIGINT) - 1 AS dst,
+       abs(coalesce(CAST(nullif(split_part(ln, ' ', 4), '') AS DOUBLE), 1.0)) AS weight
+FROM body"""
+
+
 # --- non-SQL-expressible (rows-only check; pytest oracles in tests/) ---
 
 def _pagerank_converged(spark, sf_dir):
@@ -1074,6 +1177,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_docfreq": _token_docfreq,
         "embedding_norms": _embedding_norms,
         "multimodal_payload_stats": _multimodal_payload_stats,
+        "read_mtx_fixture": _read_mtx_fixture,
+        "read_snap_fixture": _read_snap_fixture,
+        "read_dimacs9_fixture": _read_dimacs9_fixture,
         # iterative / index operators with derived oracles
         "lpa_2iter": _lpa_2iter,
         "mis_verified": _mis_verified,
@@ -1125,6 +1231,9 @@ def oracle_sql() -> dict[str, str]:
         "token_docfreq": _TOKEN_DOCFREQ_SQL,
         "embedding_norms": _NORMS_SQL,
         "multimodal_payload_stats": _MULTIMODAL_SQL,
+        "read_mtx_fixture": _mtx_fixture_sql(),
+        "read_snap_fixture": _snap_fixture_sql(),
+        "read_dimacs9_fixture": _dimacs9_fixture_sql(),
         "lpa_2iter": _lpa2_sql(),
         "mis_verified": _MIS_VERIFIED_SQL,
         "louvain_q": _LOUVAIN_Q_SQL,

@@ -19,7 +19,10 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 def _split_cols(df, n):
     parts = F.split(F.trim(F.col("value")), r"\s+")
-    return df.select(*[parts.getItem(i).alias(f"c{i}") for i in range(n)])
+    # F.get (not getItem): pattern-format lines may omit trailing columns
+    # (e.g. weightless MatrixMarket rows) — out-of-bounds must yield NULL,
+    # which the callers coalesce to a default, not an ANSI index error.
+    return df.select(*[F.get(parts, i).alias(f"c{i}") for i in range(n)])
 
 
 def read_matrix_market(spark: SparkSession, path: str, one_based: bool = True) -> DataFrame:
