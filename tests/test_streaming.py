@@ -73,3 +73,41 @@ def test_sessionize_stream_batch_parity(spark, tmp_path):
     assert len(got) == len(expected)
     assert (got["n_sessions"].values == expected["n_sessions"].values).all()
     assert (got["n_events"].values == expected["n_events"].values).all()
+
+
+def test_incremental_link_ingest_batch_parity(spark, tmp_path):
+    """Streaming link ingestion (append-only deltas + compacting read) must
+    equal the one-shot batch extraction over the same repos files."""
+    from graphanalytics_spark import fixtures, ingest
+    from graphanalytics_spark.streaming import ingest as sing
+
+    repos_pdf = fixtures.generate_repos_pdf(n_repos=20)
+    src_dir = tmp_path / "repos_dir"
+    src_dir.mkdir()
+    # two separate files → the availableNow drain sees multiple input files
+    spark.createDataFrame(repos_pdf.iloc[:100]).write.mode("overwrite").parquet(
+        str(src_dir / "p0")
+    )
+    spark.createDataFrame(repos_pdf.iloc[100:]).write.mode("overwrite").parquet(
+        str(src_dir / "p1")
+    )
+    batch = spark.read.parquet(str(src_dir / "p0"), str(src_dir / "p1"))
+
+    stream = sing.read_repos_stream(spark, f"{src_dir}/*", batch.schema)
+    q = sing.incremental_link_ingest(
+        stream, str(tmp_path / "deltas"), str(tmp_path / "ckpt")
+    )
+    q.awaitTermination()
+
+    got = {
+        (r.src_repo, r.dst_repo): r.weight
+        for r in sing.read_link_table(spark, str(tmp_path / "deltas")).collect()
+    }
+    expected = {
+        (r.src_repo, r.dst_repo): r.weight
+        for r in ingest.extract_links(batch)
+        .groupBy("src_repo", "dst_repo")
+        .agg(F.count("*").cast("double").alias("weight"))
+        .collect()
+    }
+    assert got == expected and len(got) > 10
