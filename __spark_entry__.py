@@ -630,6 +630,40 @@ FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
 WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.5"""
 
 
+def _near_dup_verified(spark, sf_dir):
+    """Composed dedup scale pipeline: MinHash-LSH candidates → exact
+    n-gram-Jaccard verify (the BENCH/FUZZY.md shape as one operator)."""
+    return dedup.near_dup_verified(
+        spark, _t(spark, sf_dir, "documents"), n=3, num_perm=16, bands=4,
+        threshold=0.4,
+    )
+
+
+def _near_dup_sql(threshold: float = 0.4) -> str:
+    base = _minhash_sql()
+    # rsplit: the final SELECT DISTINCT (candidate pairs) — the sh CTE also
+    # contains one
+    head, select = base.rsplit("SELECT DISTINCT", 1)
+    return (
+        head.rstrip()
+        + f""",
+cand AS (SELECT DISTINCT{select}),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY 1, 2)
+SELECT i.doc_a, i.doc_b,
+  round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= {threshold}"""
+    )
+
+
 def _simhash_near(spark, sf_dir):
     """SimHash banded near-pairs over a corpus with PLANTED near-duplicates
     (4 deterministic truncation variants per doc — the base corpus has no
@@ -1171,6 +1205,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": _ngram_jaccard,
         "minhash_lsh_pairs": _minhash_pairs,
         "simhash_near_pairs": _simhash_near,
+        "near_dup_verified": _near_dup_verified,
         "fuzzy_match": _fuzzy_match,
         "cosine_topk": _cosine_topk,
         "cosine_topk_batch": _cosine_topk_batch,
@@ -1225,6 +1260,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_pairs": _JACCARD_SQL,
         "minhash_lsh_pairs": _minhash_sql(),
         "simhash_near_pairs": _simhash_near_sql(),
+        "near_dup_verified": _near_dup_sql(),
         "fuzzy_match": _FUZZY_SQL,
         "cosine_topk": _COSINE_SQL,
         "cosine_topk_batch": _COSINE_BATCH_SQL,
