@@ -1166,6 +1166,89 @@ SELECT CAST(split_part(ln, ' ', 2) AS BIGINT) - 1 AS src,
 FROM body"""
 
 
+# --- IVF ANN + embedding-cosine near-dup ---
+
+def _ivf_topk(spark, sf_dir):
+    """IVF-Flat approximate top-K: deterministic seed centroids (the
+    n_cells smallest vec_ids), argmax-cosine cell assignment, nprobe
+    nearest cells probed, exact re-rank — the whole inverted-file pipeline
+    as one SQL-checkable query (functions/similarity.py IVF section)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    target = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return similarity.ivf_topk(spark, emb, target, k=20, n_cells=8, nprobe=2)
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return f"""CASE WHEN sqrt(list_dot_product({a}, {a})) > 0
+        AND sqrt(list_dot_product({b}, {b})) > 0
+  THEN list_dot_product({a}, {b})
+       / (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))
+  ELSE 0.0 END"""
+
+
+def _ivf_sql(k: int = 20, n_cells: int = 8, nprobe: int = 2) -> str:
+    cos_bc = _cos_sql("b.v", "c.cv")
+    cos_tc = _cos_sql("c.cv", "t.tv")
+    cos_vt = _cos_sql("cand.v", "t.tv")
+    return f"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (SELECT vec_id AS cid, v AS cv FROM base ORDER BY vec_id LIMIT {n_cells}),
+asg AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT b.vec_id, b.v, c.cid, row_number() OVER (
+      PARTITION BY b.vec_id ORDER BY round({cos_bc}, 8) DESC, c.cid ASC) AS rn
+    FROM base b, cent c) WHERE rn = 1),
+t AS (SELECT v AS tv FROM base WHERE vec_id = 0),
+tc AS (
+  SELECT cid FROM (
+    SELECT c.cid, row_number() OVER (
+      ORDER BY round({cos_tc}, 8) DESC, c.cid ASC) AS rn
+    FROM cent c, t) WHERE rn <= {nprobe})
+SELECT cand.vec_id, round({cos_vt}, 8) AS sim
+FROM (SELECT a.vec_id, a.v FROM asg a JOIN tc USING (cid)) cand, t
+ORDER BY sim DESC, cand.vec_id LIMIT {k}"""
+
+
+def _embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs over a corpus with PLANTED
+    near-dups (tail-8-of-64 dims zeroed, ids offset +100000 — sim ≈
+    sqrt(56/64) ≈ 0.93; the base corpus has no pairs above 0.52, which
+    would make this a vacuous 0-row gate). LSH band candidates → exact
+    cosine ≥ threshold (functions/dedup.py:embedding_near_dup)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    variants = emb.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.concat(
+            F.slice(F.transform("embedding", lambda x: x.cast("double")), 1, 56),
+            F.array_repeat(F.lit(0.0), 8),
+        ).alias("embedding"),
+    )
+    aug = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    ).unionByName(variants)
+    return dedup.embedding_near_dup(spark, aug, threshold=0.85)
+
+
+def _embedding_near_dup_sql(threshold: float = 0.85, n_bands: int = 4) -> str:
+    bcols = _ann_band_cols_sql(n_bands=n_bands)
+    zeros = ", ".join(["0.0"] * 8)
+    unions = " UNION ".join(
+        f"SELECT l.vec_id AS id_a, l.embedding AS va, r.vec_id AS id_b, r.embedding AS vb "
+        f"FROM bx l JOIN bx r ON l.b{b} = r.b{b} AND l.vec_id < r.vec_id"
+        for b in range(n_bands)
+    )
+    cos = _cos_sql("va", "vb")
+    return f"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+aug AS (
+  SELECT vec_id, v AS embedding FROM base
+  UNION ALL
+  SELECT vec_id + 100000, list_concat(v[1:56], [{zeros}]) FROM base),
+bx AS (SELECT vec_id, embedding, {bcols} FROM aug),
+pairs AS ({unions})
+SELECT id_a, id_b, round({cos}, 8) AS sim FROM pairs
+WHERE round({cos}, 8) >= {threshold}"""
+
+
 # --- non-SQL-expressible (rows-only check; pytest oracles in tests/) ---
 
 def _pagerank_converged(spark, sf_dir):
@@ -1222,6 +1305,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _ann_topk,
         "ann_probe_topk": _ann_probe_topk,
         "knn_join_lsh": _knn_join,
+        "ivf_topk": _ivf_topk,
+        "embedding_near_dup": _embedding_near_dup,
         "ingest_edges": _ingest_edges,
         # rows-only (convergence-dependent; gated by pagerank_5iter's
         # oracle + pytest 1e-6 numpy oracle)
@@ -1276,5 +1361,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": _ann_sql(),
         "ann_probe_topk": _ann_sql(k=15),
         "knn_join_lsh": _knn_join_sql(),
+        "ivf_topk": _ivf_sql(),
+        "embedding_near_dup": _embedding_near_dup_sql(),
         "ingest_edges": _ingest_sql(),
     }

@@ -343,3 +343,51 @@ def simhash_near_pairs(
     return pairs.select("doc_a", "doc_b", ham.alias("hamming")).filter(
         F.col("hamming") <= max_hamming
     )
+
+
+def embedding_near_dup(
+    spark: SparkSession,
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    n_planes: int = 8,
+    n_bands: int = 4,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs — the semantic-dedup tier of
+    the training-data pipeline (the reference's cosine top-K capability
+    applied corpus-vs-itself, /root/reference/cosinesim/src/cosinesim.cpp:589-680).
+
+    Candidates = vector pairs sharing ≥1 random-hyperplane LSH band bucket
+    (the same hyperplanes as the ANN path in functions/similarity.py);
+    verify = exact cosine ≥ threshold. Returns canonical pairs
+    (id_a < id_b, sim rounded to 8 decimals). Never a cross product: the
+    pair stream is a (band, bucket) equi-join, quadratic only within a
+    bucket, and the exact re-rank touches candidates only — the identical
+    economics to MinHash-LSH → Jaccard-verify for text.
+    """
+    from graphanalytics_spark.functions.similarity import (
+        ann_band_buckets,
+        cosine_sim_col,
+    )
+
+    first = embeddings.select(vec_col).first()
+    dim = len(first[0]) if first else 0
+    b = ann_band_buckets(embeddings, dim, n_planes, n_bands, seed, vec_col, id_col)
+    l = b.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"), "band", "bucket"
+    )
+    r = b.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"), "band", "bucket"
+    )
+    pairs = (
+        l.join(r, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "va", "vb")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sim = F.round(cosine_sim_col(F.col("va"), F.col("vb")), 8)
+    return pairs.select("id_a", "id_b", sim.alias("sim")).filter(
+        F.col("sim") >= threshold
+    )

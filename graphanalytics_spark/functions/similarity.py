@@ -265,6 +265,178 @@ def ann_lsh_topk(
     return cosine_topk(spark, candidates, target, k, vec_col, id_col)
 
 
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the coarse-quantizer scale path
+# ---------------------------------------------------------------------------
+#
+# Complements the LSH path above with the other classic ANN index family:
+# partition the corpus into cells around centroids (IVF-Flat), probe the
+# ``nprobe`` cells nearest the target, exact re-rank within. The reference's
+# population-load / match split (/root/reference/cosinesim/include/
+# cosinesim.hpp:412-418,497) maps to build (cells persisted, partitioned by
+# cell) vs probe (partition-pruned read of nprobe cells).
+
+
+def seed_centroids(
+    embeddings: DataFrame,
+    n_cells: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Deterministic coarse-quantizer seeds: the ``n_cells`` vectors with
+    the smallest ids, kept under their own ids as cell ids. Returns
+    (cid, cv: array<double>) — a driver-broadcastable table."""
+    arr = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    return (
+        embeddings.select(F.col(id_col).alias("cid"), arr.alias("cv"))
+        .orderBy("cid")
+        .limit(n_cells)
+    )
+
+
+def assign_cells(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Assign every vector to its max-cosine centroid (score rounded to 8
+    decimals; ties → smaller cid — a total order, so assignment is
+    deterministic and cross-engine reproducible). One corpus scan against a
+    broadcast centroid table. Returns (vec_id, embedding: array<double>,
+    cell)."""
+    arr = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    e = embeddings.select(F.col(id_col).alias("vec_id"), arr.alias("embedding"))
+    scored = e.crossJoin(F.broadcast(centroids)).select(
+        "vec_id",
+        "embedding",
+        "cid",
+        F.round(cosine_sim_col(F.col("embedding"), F.col("cv")), 8).alias("score"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("score"), F.asc("cid"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", F.col("cid").alias("cell"))
+    )
+
+
+def lloyd_refine(
+    spark: SparkSession,
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Lloyd k-means refinement of the coarse quantizer, fully declarative:
+    assign (broadcast argmax) → recompute centroids as the element-wise
+    member mean (posexplode + hash agg + re-assembly). Empty cells keep
+    their previous centroid. Centroid means are rounded to 8 decimals each
+    iteration so the refinement is deterministic under Spark's unordered
+    partial aggregation. Returns the refined (cid, cv) table."""
+    cent = centroids
+    for _ in range(iters):
+        asg = assign_cells(embeddings, cent, vec_col, id_col)
+        means = (
+            asg.select("cell", F.posexplode("embedding").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.round(F.avg("x"), 8).alias("m"))
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s.m,
+                ).alias("mv")
+            )
+        )
+        cent = (
+            cent.join(means, cent.cid == means.cell, "left")
+            .select("cid", F.coalesce("mv", "cv").alias("cv"))
+        )
+        # keep the centroid table collapsed: it is tiny (n_cells rows) and
+        # feeds a broadcast next iteration
+        cent = spark.createDataFrame(cent.collect(), cent.schema)
+    return cent
+
+
+def write_ivf_index(
+    embeddings: DataFrame,
+    path: str,
+    n_cells: int = 16,
+    lloyd_iters: int = 0,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Build and persist an IVF-Flat index: ``<path>/centroids`` (tiny) and
+    ``<path>/cells`` partitioned by cell, so a probe's candidate fetch is a
+    partition-pruned read of nprobe directories. The build is one corpus
+    scan per Lloyd iteration plus one for the final assignment."""
+    spark = embeddings.sparkSession
+    cent = seed_centroids(embeddings, n_cells, vec_col, id_col)
+    if lloyd_iters > 0:
+        cent = lloyd_refine(spark, embeddings, cent, lloyd_iters, vec_col, id_col)
+    cent.write.mode("overwrite").parquet(f"{path}/centroids")
+    asg = assign_cells(embeddings, cent, vec_col, id_col)
+    asg.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/cells")
+
+
+def _nearest_cells(cent_rows, target: list[float], nprobe: int) -> list[int]:
+    """Driver-side nprobe cell selection (centroid table is tiny), same
+    rounding + tie rules as assign_cells."""
+    tnp = np.asarray(target, dtype=float)
+    tn = float(np.sqrt(tnp @ tnp))
+    scored = []
+    for r in cent_rows:
+        cv = np.asarray(r["cv"], dtype=float)
+        nn = float(np.sqrt(cv @ cv))
+        sim = float(tnp @ cv / (tn * nn)) if tn > 0 and nn > 0 else 0.0
+        scored.append((round(sim, 8), -int(r["cid"])))
+    scored.sort(reverse=True)
+    return [-ncid for _, ncid in scored[:nprobe]]
+
+
+def ivf_probe(
+    spark: SparkSession,
+    index_path: str,
+    target: list[float],
+    k: int = 10,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Probe a persisted IVF index: pick the ``nprobe`` nearest cells from
+    the centroid table (driver-side — it is n_cells rows), read ONLY those
+    cell partitions, exact cosine re-rank. At 100 TB a probe touches
+    ~nprobe/n_cells of the corpus via partition pruning."""
+    cent_rows = spark.read.parquet(f"{index_path}/centroids").collect()
+    cells = _nearest_cells(cent_rows, target, nprobe)
+    cand = spark.read.parquet(f"{index_path}/cells").filter(
+        F.col("cell").isin(cells)
+    )
+    return cosine_topk(spark, cand, target, k, "embedding", "vec_id")
+
+
+def ivf_topk(
+    spark: SparkSession,
+    embeddings: DataFrame,
+    target: list[float],
+    k: int = 10,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """One-shot IVF top-K without persistence (seed centroids, no Lloyd):
+    deterministic end-to-end — seed cells, assignment, nprobe cell filter,
+    exact re-rank — so the whole pipeline is SQL-expressible and
+    driver-oracle-checkable. For repeated probes build the index once with
+    ``write_ivf_index`` and use ``ivf_probe``."""
+    cent = seed_centroids(embeddings, n_cells, vec_col, id_col)
+    asg = assign_cells(embeddings, cent, vec_col, id_col)
+    cells = _nearest_cells(cent.collect(), target, nprobe)
+    cand = asg.filter(F.col("cell").isin(cells))
+    return cosine_topk(spark, cand, target, k, "embedding", "vec_id")
+
+
 def knn_join_lsh(
     spark: SparkSession,
     left: DataFrame,

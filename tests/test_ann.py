@@ -70,3 +70,90 @@ def test_knn_join_lsh_recall_vs_exact(spark):
     # equal the brute-force cosine
     for _, rid, sim in by_left[0]:
         assert abs(sim - round(float(sims[0, rid]), 8)) < 1e-6
+
+
+# --- IVF (inverted-file) path ---
+
+def test_ivf_topk_target_first_and_exact_within_cells(spark):
+    emb, target = _emb(spark), _target(spark)
+    got = similarity.ivf_topk(spark, emb, target, k=10, n_cells=8, nprobe=3)
+    rows = got.collect()
+    assert rows[0].vec_id == 0 and rows[0].sim == 1.0
+    # sims are exact cosines (verify against numpy for each returned id)
+    pdf = emb.toPandas().set_index("vec_id")
+    t = np.asarray(target, dtype=float)
+    for r in rows:
+        v = np.asarray(pdf.loc[r.vec_id, "embedding"], dtype=float)
+        exact = float(t @ v / (np.linalg.norm(t) * np.linalg.norm(v)))
+        assert abs(r.sim - round(exact, 8)) < 1e-6
+
+
+def test_ivf_probe_matches_one_shot(spark, tmp_path):
+    emb, target = _emb(spark), _target(spark)
+    path = str(tmp_path / "ivf_index")
+    similarity.write_ivf_index(emb, path, n_cells=8)
+    got_probe = [
+        (r.vec_id, r.sim)
+        for r in similarity.ivf_probe(spark, path, target, k=10, nprobe=3).collect()
+    ]
+    got_oneshot = [
+        (r.vec_id, r.sim)
+        for r in similarity.ivf_topk(
+            spark, emb, target, k=10, n_cells=8, nprobe=3
+        ).collect()
+    ]
+    assert got_probe == got_oneshot
+
+
+def test_ivf_probe_is_partition_pruned(spark, tmp_path):
+    emb, target = _emb(spark), _target(spark)
+    path = str(tmp_path / "ivf_index")
+    similarity.write_ivf_index(emb, path, n_cells=8)
+    probe = similarity.ivf_probe(spark, path, target, k=5, nprobe=2)
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert (
+        "PartitionFilters" in plan
+        and "cell" in plan.split("PartitionFilters")[1][:400]
+    )
+
+
+def test_ivf_lloyd_refine_improves_or_holds_quantization(spark):
+    emb = _emb(spark)
+    seeds = similarity.seed_centroids(emb, 8)
+    refined = similarity.lloyd_refine(spark, emb, seeds, iters=2)
+    assert refined.count() == 8
+
+    def mean_best_sim(cent):
+        asg = similarity.assign_cells(emb, cent)
+        joined = asg.join(
+            cent.withColumnRenamed("cid", "cell"), "cell"
+        ).select(
+            similarity.cosine_sim_col(F.col("embedding"), F.col("cv")).alias("s")
+        )
+        return joined.agg(F.avg("s")).first()[0]
+
+    # Lloyd iterations cannot make the mean member→centroid similarity
+    # meaningfully worse (monotone for L2; near-monotone for cosine here)
+    assert mean_best_sim(refined) >= mean_best_sim(seeds) - 1e-6
+
+
+def test_embedding_near_dup_finds_planted_variants(spark):
+    from graphanalytics_spark.functions import dedup
+
+    emb = _emb(spark).filter(F.col("vec_id") < 200)
+    # plant variants: tail 8 of 64 dims zeroed → sim ≈ sqrt(56/64) ≈ 0.93
+    variants = emb.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.concat(
+            F.slice(F.transform("embedding", lambda x: x.cast("double")), 1, 56),
+            F.array_repeat(F.lit(0.0), 8),
+        ).alias("embedding"),
+    )
+    aug = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    ).unionByName(variants)
+    pairs = dedup.embedding_near_dup(spark, aug, threshold=0.85).collect()
+    planted = {(r.id_a, r.id_b) for r in pairs if r.id_b == r.id_a + 100000}
+    assert len(planted) >= 100  # LSH recall over 200 planted pairs
+    for r in pairs:
+        assert r.sim >= 0.85
