@@ -1249,6 +1249,45 @@ SELECT id_a, id_b, round({cos}, 8) AS sim FROM pairs
 WHERE round({cos}, 8) >= {threshold}"""
 
 
+# --- end-to-end corpus-clean pipeline ---
+
+def _corpus_clean(spark, sf_dir):
+    """The full training-data cleaning funnel as one query: language
+    filter → quality floor → exact dedup (keep-min) → verified-near-dup
+    drop (functions/pipeline.py:corpus_clean). 500 → 259 → 246 docs at
+    sf0.01 — every stage does real work."""
+    from graphanalytics_spark.functions.pipeline import corpus_clean
+
+    return corpus_clean(
+        spark,
+        _t(spark, sf_dir, "documents"),
+        lang="en",
+        min_quality=0.88,
+        jaccard_threshold=0.4,
+    )
+
+
+def _corpus_clean_sql(
+    lang: str = "en", min_quality: float = 0.88, thr: float = 0.4
+) -> str:
+    return f"""WITH lang AS ({_doc_langid_sql()}), qual AS ({_doc_quality_sql()}),
+kept1 AS (
+  SELECT d.doc_id, d.text, l.lang_pred, q.quality
+  FROM documents d JOIN lang l USING (doc_id) JOIN qual q USING (doc_id)
+  WHERE l.lang_pred = '{lang}' AND q.quality >= {min_quality}),
+kept2 AS (
+  SELECT k.* FROM kept1 k
+  JOIN (SELECT sha256({_NORM}) AS h, min(doc_id) AS doc_id
+        FROM kept1 GROUP BY 1) m ON m.doc_id = k.doc_id),
+pairs AS (SELECT * FROM ({_near_dup_sql(thr)})),
+dropd AS (
+  SELECT DISTINCT p.doc_b AS doc_id FROM pairs p
+  JOIN kept2 a ON a.doc_id = p.doc_a
+  JOIN kept2 b ON b.doc_id = p.doc_b)
+SELECT k.doc_id, k.lang_pred, k.quality
+FROM kept2 k LEFT JOIN dropd USING (doc_id) WHERE dropd.doc_id IS NULL"""
+
+
 # --- non-SQL-expressible (rows-only check; pytest oracles in tests/) ---
 
 def _pagerank_converged(spark, sf_dir):
@@ -1307,6 +1346,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_join_lsh": _knn_join,
         "ivf_topk": _ivf_topk,
         "embedding_near_dup": _embedding_near_dup,
+        "corpus_clean": _corpus_clean,
         "ingest_edges": _ingest_edges,
         # rows-only (convergence-dependent; gated by pagerank_5iter's
         # oracle + pytest 1e-6 numpy oracle)
@@ -1363,5 +1403,6 @@ def oracle_sql() -> dict[str, str]:
         "knn_join_lsh": _knn_join_sql(),
         "ivf_topk": _ivf_sql(),
         "embedding_near_dup": _embedding_near_dup_sql(),
+        "corpus_clean": _corpus_clean_sql(),
         "ingest_edges": _ingest_sql(),
     }

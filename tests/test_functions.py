@@ -193,3 +193,35 @@ def test_fuzzy_match_cutoff_boundary(spark):
     got = {r.id: r.similarity for r in
            fuzzymatch.fuzzy_match(spark, pats, "abcdefghij", threshold=80.0).collect()}
     assert got == {1: 100.0, 2: 80.0}
+
+
+def test_corpus_clean_funnel_and_invariants(spark):
+    """corpus_clean: stage monotonicity, near-dup drop correctness (the
+    larger id of every surviving verified pair is gone), and report parity.
+    """
+    from graphanalytics_spark.functions import dedup
+    from graphanalytics_spark.functions.pipeline import corpus_clean, corpus_clean_report
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = corpus_clean(
+        spark, docs, lang="en", min_quality=0.8, jaccard_threshold=0.4
+    )
+    rows = out.collect()
+    assert rows, "pipeline removed everything"
+    for r in rows:
+        assert r.lang_pred == "en" and r.quality >= 0.8
+    # no verified near-dup pair can survive intact
+    ids = {r.doc_id for r in rows}
+    kept_docs = docs.filter(F.col("doc_id").isin(list(ids)))
+    residual = dedup.near_dup_verified(spark, kept_docs, threshold=0.4)
+    leftover = [
+        (r.doc_a, r.doc_b)
+        for r in residual.collect()
+        if r.doc_a in ids and r.doc_b in ids
+    ]
+    assert leftover == []
+    rep = corpus_clean_report(
+        spark, docs, lang="en", min_quality=0.8, jaccard_threshold=0.4
+    )
+    assert rep["total"] >= rep["after_language"] >= rep["after_quality"] >= rep["final"]
+    assert rep["final"] == len(rows)
