@@ -77,8 +77,12 @@ def connected_components(
             .groupBy(F.col("dst").alias("vid"))
             .agg(F.min("label").alias("nlabel"))
         )
+        # carry the pre-round label through as `old` so `changed` needs no
+        # third V-sized join at the end of the round
         merged = state.join(nbr_min, "vid", "left").select(
-            "vid", F.least("label", F.coalesce("nlabel", "label")).alias("label")
+            "vid",
+            F.col("label").alias("old"),
+            F.least("label", F.coalesce("nlabel", "label")).alias("label"),
         )
         # 2) pointer jumping: label <- label(label)
         parent = merged.select(
@@ -88,16 +92,16 @@ def connected_components(
             merged.join(parent, merged.label == parent.pvid, "left")
             .select(
                 "vid",
-                F.least("label", F.coalesce("plabel", "label")).alias("new_label"),
+                "old",
+                F.least(merged.label, F.coalesce("plabel", merged.label)).alias(
+                    "new_label"
+                ),
             )
         )
-        new_state = (
-            jumped.join(state, "vid")
-            .select(
-                "vid",
-                F.col("new_label").alias("label"),
-                (F.col("new_label") != F.col("label")).alias("changed"),
-            )
+        new_state = jumped.select(
+            "vid",
+            F.col("new_label").alias("label"),
+            (F.col("new_label") != F.col("old")).alias("changed"),
         )
         # per-iteration lineage truncation (plans/truncate.py: lazy
         # localCheckpoint piggybacking on the count below + periodic hard

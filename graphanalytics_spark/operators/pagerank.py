@@ -67,11 +67,21 @@ class IterationMetrics:
 
 def _prepare_links(edges: DataFrame, partitions: int | None):
     """Static join side: per-edge rank fraction weight/out-degree, hash
-    partitioned on src once and persisted for the whole run."""
+    partitioned on src once and persisted for the whole run — every
+    iteration's gather join then reuses this partitioning and only the
+    vertex-state side is exchanged. Defaults to the session's shuffle
+    parallelism when the caller does not size it."""
     out = edges.groupBy("src").agg(F.sum("weight").alias("wdeg"))
     links = edges.join(out, "src").select(
         "src", "dst", (F.col("weight") / F.col("wdeg")).alias("frac")
     )
+    if partitions is None:
+        try:
+            partitions = int(
+                edges.sparkSession.conf.get("spark.sql.shuffle.partitions")
+            )
+        except (TypeError, ValueError):
+            partitions = edges.sparkSession.sparkContext.defaultParallelism
     if partitions:
         links = links.repartition(partitions, "src")
     return links.persist()
