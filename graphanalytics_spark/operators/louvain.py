@@ -207,6 +207,8 @@ def louvain(
     metrics: list | None = None,
     min_graph_size: int = 0,
     vertex_following: bool = False,
+    phase_checkpointer=None,
+    resume: bool = False,
 ) -> DataFrame:
     """Multi-phase Louvain. Returns DataFrame(vid: long, community: long)
     over original vertex ids. ``metrics`` (optional list) collects
@@ -217,7 +219,13 @@ def louvain(
     louvainPhase.cpp:2187-2196); 0 disables the check.
     ``vertex_following`` applies the degree-1-collapse pre-pass first and
     composes the result back (the reference's vertexFollowing option,
-    grappolo/src/vertexFollowing.cpp:46-88)."""
+    grappolo/src/vertexFollowing.cpp:46-88).
+    ``phase_checkpointer`` (plans.checkpoint.PhaseCheckpoint) snapshots the
+    contracted graph + composed mapping after every phase — the reference's
+    per-phase GLV save (ParLV.cpp:398-434); with ``resume=True`` the run
+    continues from the latest snapshot instead of phase 1 and, because
+    every phase is deterministic given ``seed``, reproduces the
+    uninterrupted run's result exactly."""
     from graphanalytics_spark.operators.contraction import renumber_map
 
     if vertex_following:
@@ -237,6 +245,8 @@ def louvain(
             metrics=metrics,
             min_graph_size=min_graph_size,
             vertex_following=False,
+            phase_checkpointer=phase_checkpointer,
+            resume=resume,
         )
         return compose_through(v2c, comm, "community")
 
@@ -246,11 +256,21 @@ def louvain(
     best_mapping = _identity_labels(edges_canon).select(
         "vid", F.col("label").alias("community")
     )
-    best_q = modularity(
-        spark, edges_canon, best_mapping.select("vid", F.col("community").alias("label"))
-    )
+    start_phase = 1
+    if resume and phase_checkpointer is not None:
+        snap = phase_checkpointer.load()
+        if snap is not None:
+            g, mapping, best_mapping, meta = snap
+            best_q = meta["best_q"]
+            start_phase = meta["phase"] + 1
+    if start_phase == 1:
+        best_q = modularity(
+            spark,
+            edges_canon,
+            best_mapping.select("vid", F.col("community").alias("label")),
+        )
 
-    for phase in range(1, max_phases + 1):
+    for phase in range(start_phase, max_phases + 1):
         t0 = time.monotonic()
         labels, rounds = _one_phase(
             spark, g, max_rounds_per_phase, seed + 1000 * phase, truncator
@@ -311,6 +331,8 @@ def louvain(
             .select("vid", F.col("cid").alias("community"))
         )
         mapping = truncator.truncate(mapping, phase)
+        if phase_checkpointer is not None:
+            phase_checkpointer.save(phase, g, mapping, best_mapping, q, best_q)
     return best_mapping
 
 

@@ -96,3 +96,79 @@ class CheckpointManager:
                 lin = json.load(f)
         df = self.spark.read.parquet(self._dir(lin["iteration"]))
         return df, lin
+
+
+class PhaseCheckpoint:
+    """Per-PHASE Louvain snapshots — the reference saves a GLV binary
+    (graph + community array + Q) after every phase and can rerun from it
+    (/root/reference/louvainmod/src/ParLV.cpp:398-434, per-partition
+    ``<name>_000.par`` files + ``.par.proj``). A snapshot here is three
+    parquet tables under ``root/phase=NN/`` — the contracted edge table
+    entering the next phase, the composed original→community mapping in
+    that contracted id space, and the best mapping seen so far — plus a
+    ``_phase.json`` sidecar with phase number, Q, best-Q and wall time."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def _dir(self, phase: int) -> str:
+        return os.path.join(self.root, f"phase={phase:03d}")
+
+    def save(
+        self,
+        phase: int,
+        g: DataFrame,
+        mapping: DataFrame,
+        best_mapping: DataFrame,
+        q: float,
+        best_q: float,
+    ) -> str:
+        t0 = time.monotonic()
+        d = self._dir(phase)
+        g.write.mode("overwrite").parquet(os.path.join(d, "edges"))
+        mapping.write.mode("overwrite").parquet(os.path.join(d, "mapping"))
+        best_mapping.write.mode("overwrite").parquet(
+            os.path.join(d, "best_mapping")
+        )
+        meta = {
+            "phase": phase,
+            "q": q,
+            "best_q": best_q,
+            "wall_s": time.monotonic() - t0,
+            "complete": True,
+        }
+        with open(os.path.join(d, "_phase.json"), "w") as f:
+            json.dump(meta, f, indent=2)
+        return d
+
+    def snapshots(self) -> list[dict]:
+        out = []
+        if not os.path.isdir(self.root):
+            return out
+        for d in sorted(os.listdir(self.root)):
+            mp = os.path.join(self.root, d, "_phase.json")
+            if os.path.exists(mp):
+                with open(mp) as f:
+                    out.append(json.load(f))
+        return out
+
+    def load(
+        self, phase: int | None = None
+    ) -> tuple[DataFrame, DataFrame, DataFrame, dict] | None:
+        """(contracted edges, mapping, best_mapping, meta) of the given or
+        latest complete phase snapshot."""
+        snaps = [s for s in self.snapshots() if s.get("complete")]
+        if phase is not None:
+            snaps = [s for s in snaps if s["phase"] == phase]
+        if not snaps:
+            return None
+        meta = snaps[-1]
+        d = self._dir(meta["phase"])
+        return (
+            self.spark.read.parquet(os.path.join(d, "edges")),
+            self.spark.read.parquet(os.path.join(d, "mapping")),
+            self.spark.read.parquet(os.path.join(d, "best_mapping")),
+            meta,
+        )

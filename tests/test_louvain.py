@@ -136,3 +136,34 @@ def test_louvain_min_graph_size_stop(spark):
     louvain.louvain(spark, ec, metrics=mets, min_graph_size=1000)
     # graph (48 vertices) is already under the floor → exactly one phase
     assert len(mets) == 1
+
+
+def test_louvain_phase_checkpoint_resume_identical(spark, tmp_path):
+    """Kill-and-resume at the phase boundary: a run resumed from the
+    phase-1 snapshot must reproduce the uninterrupted run's final mapping
+    exactly (every phase is deterministic given the seed) — the per-phase
+    GLV save/load analog (ParLV.cpp:398-434)."""
+    from graphanalytics_spark import fixtures, graph
+    from graphanalytics_spark.operators import louvain as lv
+    from graphanalytics_spark.plans.checkpoint import PhaseCheckpoint
+
+    edges, _, _ = _islands(n_islands=5, size=6)
+    ec = graph.canonicalize(fixtures.edges_df(spark, edges))
+    full = sorted(
+        (r.vid, r.community)
+        for r in lv.louvain(spark, ec, max_phases=4, seed=7).collect()
+    )
+    # interrupted run: snapshot every phase, stop after phase 1
+    cp = PhaseCheckpoint(spark, str(tmp_path / "lv_ckpt"))
+    lv.louvain(spark, ec, max_phases=1, seed=7, phase_checkpointer=cp)
+    snaps = cp.snapshots()
+    assert snaps and snaps[-1]["phase"] == 1 and snaps[-1]["complete"]
+    assert snaps[-1]["best_q"] > 0
+    # resume and finish
+    resumed = sorted(
+        (r.vid, r.community)
+        for r in lv.louvain(
+            spark, ec, max_phases=4, seed=7, phase_checkpointer=cp, resume=True
+        ).collect()
+    )
+    assert resumed == full
