@@ -528,6 +528,26 @@ h2 AS (SELECT c2.seed, c2.vid, 2 AS hop FROM c2
 SELECT seed, vid, hop FROM h0 UNION ALL SELECT * FROM h1 UNION ALL SELECT * FROM h2"""
 
 
+def _khop_subgraph(spark, sf_dir):
+    """Induced subgraph within 2 hops of the same 5 seeds as nhop_2 — the
+    GET SUBGRAPH query surface (operators/nhop.py:khop_subgraph)."""
+    e = _graph_sparse(spark, sf_dir)
+    seeds = (
+        graph.vertices(e).orderBy("vid").limit(5).select(F.col("vid").alias("seed"))
+    )
+    return nhop.khop_subgraph(spark, e, seeds, hops=2)
+
+
+_KHOP_SUBGRAPH_SQL = f"""WITH {_ES}, {_SYM},
+seeds AS (SELECT vid FROM (SELECT DISTINCT src AS vid FROM sym) ORDER BY vid LIMIT 5),
+h0 AS (SELECT vid FROM seeds),
+h1 AS (SELECT DISTINCT sym.dst AS vid FROM h0 JOIN sym ON sym.src = h0.vid),
+h2 AS (SELECT DISTINCT sym.dst AS vid FROM h1 JOIN sym ON sym.src = h1.vid),
+reach AS (SELECT vid FROM h0 UNION SELECT vid FROM h1 UNION SELECT vid FROM h2)
+SELECT e.src, e.dst, e.weight FROM e
+JOIN reach a ON a.vid = e.src JOIN reach b ON b.vid = e.dst"""
+
+
 # --- documents / embeddings ---
 
 def _doc_exact_dedup(spark, sf_dir):
@@ -1318,6 +1338,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contract_by_component": _contract_by_component,
         "modularity_cc": _modularity_cc,
         "nhop_2": _nhop_2,
+        "khop_subgraph": _khop_subgraph,
         "doc_exact_dedup": _doc_exact_dedup,
         "doc_token_stats": _doc_token_stats,
         "doc_quality": _doc_quality,
@@ -1376,6 +1397,7 @@ def oracle_sql() -> dict[str, str]:
         "contract_by_component": _CONTRACT_SQL,
         "modularity_cc": _MODULARITY_CC_SQL,
         "nhop_2": _NHOP_SQL,
+        "khop_subgraph": _KHOP_SUBGRAPH_SQL,
         "doc_exact_dedup": _DOC_DEDUP_SQL,
         "doc_token_stats": _TOKEN_STATS_SQL,
         "doc_quality": _doc_quality_sql(),

@@ -67,3 +67,32 @@ def n_hop(
         g.unpersist()
     adj.unpersist()
     return out
+
+
+def khop_subgraph(
+    spark: SparkSession,
+    edges_canon: DataFrame,
+    seeds: DataFrame,
+    hops: int,
+) -> DataFrame:
+    """Induced subgraph within ``hops`` of the seed set — the
+    ``GET SUBGRAPH`` surface of the reference's query tutorial
+    (/root/reference/nebula-get_started.ipynb): the edges whose BOTH
+    endpoints are reachable within ``hops`` hops of ANY seed.
+
+    Plan: the n-hop reach (frontier loop above) collapsed over seeds, then
+    two semi-joins of the canonical edge table against the (small) reach
+    set — Catalyst broadcasts the reach side, so the edge scan is one pass.
+    Returns canonical edges (src, dst, weight)."""
+    reach = (
+        n_hop(spark, edges_canon, seeds, hops)
+        .select("vid")
+        .distinct()
+    )
+    r_src = reach.select(F.col("vid").alias("src"))
+    r_dst = reach.select(F.col("vid").alias("dst"))
+    return (
+        edges_canon.join(r_src, "src", "left_semi")
+        .join(r_dst, "dst", "left_semi")
+        .select("src", "dst", "weight")
+    )

@@ -159,3 +159,18 @@ def test_nhop_bfs_levels(spark):
     seeds = spark.createDataFrame([(0,)], "v long")
     got = sorted((r.vid, r.hop) for r in nhop.n_hop(spark, ec, seeds, 2).collect())
     assert got == [(0, 0), (1, 1), (2, 1), (3, 2)]
+
+
+def test_khop_subgraph_induced_semantics(spark):
+    """khop_subgraph returns exactly the edges with BOTH endpoints within
+    k hops of the seed set (GET SUBGRAPH semantics)."""
+    from graphanalytics_spark.operators import nhop
+
+    # path 0-1-2-3-4-5 plus an off-path edge (10,11)
+    edges = [(i, i + 1) for i in range(5)] + [(10, 11)]
+    ec = graph.canonicalize(fixtures.edges_df(spark, edges))
+    seeds = spark.createDataFrame([(0,)], "seed long")
+    got = sorted((r.src, r.dst) for r in nhop.khop_subgraph(spark, ec, seeds, 2).collect())
+    assert got == [(0, 1), (1, 2)]  # reach {0,1,2}; edge (2,3) excluded (3 not reached)
+    got3 = sorted((r.src, r.dst) for r in nhop.khop_subgraph(spark, ec, seeds, 3).collect())
+    assert got3 == [(0, 1), (1, 2), (2, 3)]
