@@ -188,6 +188,10 @@ def pagerank_csr(
     import numpy as np  # noqa: F401  (imported for the UDF closure)
 
     out = edges.groupBy("src").agg(F.sum("weight").alias("wdeg"))
+    try:
+        sp = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        sp = spark.sparkContext.defaultParallelism
     links = (
         edges.join(out, "src")
         .select(
@@ -196,6 +200,9 @@ def pagerank_csr(
             (F.col("weight") / F.col("wdeg")).alias("frac"),
             F.pmod(F.xxhash64("src"), F.lit(n_blocks)).alias("block"),
         )
+        # pre-partition on the cogroup key once: each iteration's cogroup
+        # then exchanges only the vertex-state side, never the edge blocks
+        .repartition(sp, "block")
         .persist()
     )
     n_links = links.count()
