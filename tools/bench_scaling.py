@@ -55,6 +55,10 @@ if replicate > 1:
 sym = graph.symmetrize(edges)
 # warm the scan cache out of the measurement
 sym.count()
+# JIT/codegen warmup excluded from measurement: the converged job is only
+# ~2 iterations, so a cold JVM's compilation cost would otherwise dominate
+# it (and asymmetrically — more compile threads at higher parallelism)
+pagerank.pagerank(spark, sym, tol=0.0, max_iter=2).agg(F.sum("rank")).collect()
 # official job: PageRank to 1e-6 convergence
 m = pagerank.IterationMetrics()
 t0 = time.monotonic()
