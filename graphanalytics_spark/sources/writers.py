@@ -217,3 +217,34 @@ def write_csr_binary(
     if n_v > last_vid + 1:
         with open(row_ptr_path, "ab") as f:
             np.full(n_v - last_vid - 1, total_edges, "<i4").tofile(f)
+
+
+def write_bucketed_edges(
+    edges: DataFrame, table_name: str, buckets: int = 32
+) -> None:
+    """Persist an edge table BUCKETED + sorted on src — the co-location
+    contract for iterative gather joins at cluster scale: a scan of this
+    table reports hash(src) bucket distribution, so per-src aggregations
+    (degrees, link-fraction build) and src-keyed equi-joins read it
+    Exchange-free; only the vertex-state side of an iteration ever
+    shuffles. This is the storage-level analog of the reference's
+    contiguous-range partition files (.par per server,
+    /root/reference/louvainmod/src/xilinxlouvain.cpp:373-393) — the
+    partitioning lives with the data instead of being rebuilt per run.
+
+    Spark bucketing requires a catalog table (saveAsTable); pass a
+    qualified name to target a real metastore/Iceberg catalog on a
+    cluster — in local mode the in-memory catalog + spark-warehouse dir
+    exercise the identical plan paths."""
+    (
+        edges.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(buckets, "src")
+        .sortBy("src", "dst")
+        .saveAsTable(table_name)
+    )
+
+
+def read_bucketed_edges(spark, table_name: str) -> DataFrame:
+    """Read a bucketed edge table back with its bucket metadata intact."""
+    return spark.table(table_name)

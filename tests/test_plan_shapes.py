@@ -66,3 +66,32 @@ def test_knn_join_lsh_is_bucket_equijoin(spark):
     # sort-merge strategy is fine, but never a cross product
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bucketed_edges_aggregate_and_join_exchange_free(spark, tmp_path):
+    """A bucketed-on-src edge table must feed per-src aggregation and a
+    src-keyed self-join WITHOUT any Exchange: the co-location contract
+    that makes iterative gathers shuffle-only-the-state at cluster scale."""
+    from graphanalytics_spark import fixtures, graph
+    from graphanalytics_spark.sources import writers
+
+    edges = graph.canonicalize(
+        fixtures.edges_df(spark, [(i, (i * 7 + 1) % 50) for i in range(200)])
+    )
+    writers.write_bucketed_edges(edges, "edges_bucketed_test", buckets=8)
+    try:
+        t = writers.read_bucketed_edges(spark, "edges_bucketed_test")
+        agg = t.groupBy("src").agg(F.sum("weight").alias("w"))
+        agg.collect()
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        # force the shuffle-join path (a tiny test table would otherwise be
+        # broadcast, which bypasses bucketing entirely): a bucketed merge
+        # join must read both sides co-located with NO Exchange
+        j = t.alias("a").hint("merge").join(t.alias("b").hint("merge"), "src")
+        j.count()
+        jplan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in jplan, jplan
+        assert "Bucketed: true" in jplan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS edges_bucketed_test")
