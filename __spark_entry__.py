@@ -80,9 +80,10 @@ _ES = _E.replace("GROUP BY 1, 2)", "GROUP BY 1, 2 HAVING count(*) >= 2)")
 _SYM = "sym AS (SELECT src, dst, weight FROM e UNION ALL SELECT dst, src, weight FROM e)"
 
 
-def _pagerank5_sql() -> str:
-    """Unrolled 5-iteration PageRank over the symmetrized full graph
-    (no dangling vertices by construction)."""
+def _pagerank5_sql(e_cte: str = _E) -> str:
+    """Unrolled 5-iteration PageRank over the symmetrized graph defined by
+    ``e_cte`` (a WITH fragment ending in a CTE named ``e`` with columns
+    src, dst, weight; no dangling vertices after symmetrization)."""
     iters = []
     prev = "r0"
     for i in range(1, 6):
@@ -92,7 +93,7 @@ def _pagerank5_sql() -> str:
   FROM links l JOIN {prev} p ON p.vid = l.src GROUP BY l.dst)"""
         )
         prev = f"r{i}"
-    return f"""WITH {_E}, {_SYM},
+    return f"""WITH {e_cte}, {_SYM},
 deg AS (SELECT src, sum(weight) AS wdeg FROM sym GROUP BY src),
 links AS (SELECT s.src, s.dst, s.weight / d.wdeg AS frac
           FROM sym s JOIN deg d ON s.src = d.src),
@@ -1269,6 +1270,31 @@ SELECT id_a, id_b, round({cos}, 8) AS sim FROM pairs
 WHERE round({cos}, 8) >= {threshold}"""
 
 
+# --- flagship end-to-end: repo-link extraction → PageRank ---
+
+def _repo_pagerank(spark, sf_dir):
+    """The north-star pipeline composed end-to-end and oracle-gated in one
+    query: content-link extraction over the deterministic repos fixture
+    (ingest.build_edges) → canonical undirected repo graph → 5-iteration
+    PageRank (the SQL-unrollable slice of the converged operator)."""
+    from graphanalytics_spark import ingest
+
+    repos = spark.read.parquet(_ensure_repos_fixture())
+    edges, _dim = ingest.build_edges(repos)
+    ec = graph.canonicalize(edges)
+    return pagerank.pagerank_fixed(spark, graph.symmetrize(ec), iterations=5)
+
+
+def _repo_pagerank_sql() -> str:
+    # the ingest SQL is embedded as a nested subquery so its CTE names
+    # (links, dim, ...) cannot collide with the PageRank unroll's
+    e_cte = f"""e AS (
+  SELECT least(src, dst) AS src, greatest(src, dst) AS dst,
+         CAST(sum(weight) AS DOUBLE) AS weight
+  FROM ({_ingest_sql()}) ie WHERE src != dst GROUP BY 1, 2)"""
+    return _pagerank5_sql(e_cte=e_cte)
+
+
 # --- end-to-end corpus-clean pipeline ---
 
 def _corpus_clean(spark, sf_dir):
@@ -1369,6 +1395,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": _embedding_near_dup,
         "corpus_clean": _corpus_clean,
         "ingest_edges": _ingest_edges,
+        "repo_pagerank": _repo_pagerank,
         # rows-only (convergence-dependent; gated by pagerank_5iter's
         # oracle + pytest 1e-6 numpy oracle)
         "pagerank_converged": _pagerank_converged,
@@ -1427,4 +1454,5 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dup": _embedding_near_dup_sql(),
         "corpus_clean": _corpus_clean_sql(),
         "ingest_edges": _ingest_sql(),
+        "repo_pagerank": _repo_pagerank_sql(),
     }
