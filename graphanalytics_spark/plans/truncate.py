@@ -35,7 +35,15 @@ class LineageTruncator:
         self.spark = spark
         self.hard_every = hard_every
         self._own_dir = base_dir is None
-        self.base_dir = base_dir or tempfile.mkdtemp(prefix="ga_trunc_")
+        # hard resets are transient per-run state (durable snapshots are
+        # CheckpointManager's job), so prefer tmpfs when the host has one —
+        # the parquet round-trip then costs memory bandwidth, not disk I/O
+        import os
+
+        tmp_root = "/dev/shm" if os.path.isdir("/dev/shm") else None
+        self.base_dir = base_dir or tempfile.mkdtemp(
+            prefix="ga_trunc_", dir=tmp_root
+        )
         if self._own_dir:
             atexit.register(self.cleanup)
         self._count = 0
