@@ -529,6 +529,46 @@ h2 AS (SELECT c2.seed, c2.vid, 2 AS hop FROM c2
 SELECT seed, vid, hop FROM h0 UNION ALL SELECT * FROM h1 UNION ALL SELECT * FROM h2"""
 
 
+def _ppr_5iter(spark, sf_dir):
+    """Personalized PageRank (reset to the 5 smallest vids), 5 unrolled
+    iterations over the symmetrized sparse graph — proximity-to-seeds
+    ranking (operators/pagerank.py:personalized_pagerank)."""
+    e = _graph_sparse(spark, sf_dir)
+    seeds = (
+        graph.vertices(e).orderBy("vid").limit(5).select(F.col("vid").alias("seed"))
+    )
+    return pagerank.personalized_pagerank_fixed(
+        spark, graph.symmetrize(e), seeds, iterations=5
+    )
+
+
+def _ppr5_sql() -> str:
+    iters = []
+    prev = "r0"
+    for i in range(1, 6):
+        iters.append(
+            f"""r{i} AS (
+  SELECT b.vid, 0.15 * b.base + 0.85 * coalesce(g.s, 0) AS rank
+  FROM bases b LEFT JOIN (
+    SELECT l.dst AS vid, sum(l.frac * p.rank) AS s
+    FROM links l JOIN {prev} p ON p.vid = l.src GROUP BY 1) g
+  ON g.vid = b.vid)"""
+        )
+        prev = f"r{i}"
+    return f"""WITH {_ES}, {_SYM},
+deg AS (SELECT src, sum(weight) AS wdeg FROM sym GROUP BY src),
+links AS (SELECT s.src, s.dst, s.weight / d.wdeg AS frac
+          FROM sym s JOIN deg d ON s.src = d.src),
+v AS (SELECT DISTINCT src AS vid FROM sym),
+seeds AS (SELECT vid FROM v ORDER BY vid LIMIT 5),
+bases AS (
+  SELECT v.vid, CASE WHEN s.vid IS NULL THEN 0.0 ELSE 0.2 END AS base
+  FROM v LEFT JOIN seeds s ON s.vid = v.vid),
+r0 AS (SELECT vid, base AS rank FROM bases),
+{", ".join(iters)}
+SELECT vid, round(rank, 9) AS rank FROM r5"""
+
+
 def _khop_subgraph(spark, sf_dir):
     """Induced subgraph within 2 hops of the same 5 seeds as nhop_2 — the
     GET SUBGRAPH query surface (operators/nhop.py:khop_subgraph)."""
@@ -1359,6 +1399,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangles_per_vertex": _triangles_per_vertex,
         "pagerank_5iter": _pagerank_5iter,
         "pagerank_csr_5iter": _pagerank_csr_5iter,
+        "ppr_5iter": _ppr_5iter,
         "connected_components": _connected_components,
         "cc_sizes": _cc_sizes,
         "contract_by_component": _contract_by_component,
@@ -1425,6 +1466,7 @@ def oracle_sql() -> dict[str, str]:
         "modularity_cc": _MODULARITY_CC_SQL,
         "nhop_2": _NHOP_SQL,
         "khop_subgraph": _KHOP_SUBGRAPH_SQL,
+        "ppr_5iter": _ppr5_sql(),
         "doc_exact_dedup": _DOC_DEDUP_SQL,
         "doc_token_stats": _TOKEN_STATS_SQL,
         "doc_quality": _doc_quality_sql(),

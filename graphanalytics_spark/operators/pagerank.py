@@ -303,3 +303,101 @@ def pagerank_csr_fixed(
         spark, edges, damping=damping, tol=0.0, max_iter=iterations
     )
     return r.select("vid", F.round("rank", 9).alias("rank"))
+
+
+def personalized_pagerank(
+    spark: SparkSession,
+    edges: DataFrame,
+    seeds: DataFrame,
+    damping: float = 0.85,
+    tol: float = 1e-6,
+    max_iter: int = 100,
+    checkpoint_every: int = 5,
+    metrics: IterationMetrics | None = None,
+) -> DataFrame:
+    """Personalized PageRank: the reset distribution is uniform over the
+    ``seeds`` vertex set instead of uniform over V, so rank measures
+    proximity to the seeds (the similar-items query of the reference's
+    recommendation plugin, /root/reference/plugin/tigergraph/recomengine,
+    expressed as a graph walk instead of feature cosine).
+
+    rank(v) = (1-d)·base(v) + d·(Σ_{u→v} rank(u)·frac(u,v)
+              + dangling_mass·base(v))
+    with base = 1/|S| on seeds, 0 elsewhere — dangling mass re-enters
+    through the reset distribution, so Σ rank = 1 is preserved.
+
+    Same plan economics as ``pagerank``: static links side partitioned
+    once, only vertex state moves per iteration."""
+    links = _prepare_links(edges, None)
+    n_links = links.count()
+    truncator = LineageTruncator(spark, hard_every=checkpoint_every or 4)
+
+    verts = _vertices(edges)
+    outs = edges.select("src").distinct()
+    verts = verts.join(outs, verts.vid == outs.src, "left").select(
+        "vid", F.col("src").isNull().alias("dangling")
+    )
+    s = seeds.select(F.col(seeds.columns[0]).alias("vid")).distinct()
+    n_s = s.count()
+    if n_s == 0:
+        raise ValueError("personalized_pagerank needs a non-empty seed set")
+    state = (
+        verts.join(s.withColumn("_s", F.lit(True)), "vid", "left")
+        .select(
+            "vid",
+            F.when(F.col("_s"), F.lit(1.0 / n_s)).otherwise(F.lit(0.0)).alias("base"),
+            "dangling",
+        )
+        .select("vid", "base", F.col("base").alias("rank"), "dangling")
+        .persist()
+    )
+    dangling_mass = state.filter("dangling").agg(F.sum("rank")).first()[0] or 0.0
+
+    for it in range(1, max_iter + 1):
+        t0 = time.monotonic()
+        contribs = (
+            links.join(state, links.src == state.vid)
+            .select(links.dst.alias("vid"), (F.col("frac") * F.col("rank")).alias("c"))
+            .groupBy("vid")
+            .agg(F.sum("c").alias("gathered"))
+        )
+        new_rank_expr = (1.0 - damping) * F.col("base") + F.lit(damping) * (
+            F.coalesce(F.col("gathered"), F.lit(0.0))
+            + F.lit(dangling_mass) * F.col("base")
+        )
+        new_state = state.join(contribs, "vid", "left").select(
+            "vid",
+            "base",
+            new_rank_expr.alias("rank"),
+            "dangling",
+            F.abs(new_rank_expr - F.col("rank")).alias("delta"),
+        )
+        new_state = truncator.truncate(new_state, it)
+        agg = new_state.agg(
+            F.max("delta").alias("d"),
+            F.sum(F.when(F.col("dangling"), F.col("rank")).otherwise(0.0)).alias("dm"),
+        ).first()
+        delta, dangling_mass = float(agg["d"]), float(agg["dm"] or 0.0)
+        state.unpersist()
+        state = new_state.drop("delta")
+        if metrics is not None:
+            metrics.add(it, delta, n_links, time.monotonic() - t0)
+        if delta < tol:
+            break
+    links.unpersist()
+    return state.select("vid", "rank")
+
+
+def personalized_pagerank_fixed(
+    spark: SparkSession,
+    edges: DataFrame,
+    seeds: DataFrame,
+    iterations: int = 5,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Fixed-iteration PPR — the SQL-unrollable oracle slice, ranks rounded
+    to 9 decimals for cross-engine hash stability."""
+    r = personalized_pagerank(
+        spark, edges, seeds, damping=damping, tol=0.0, max_iter=iterations
+    )
+    return r.select("vid", F.round("rank", 9).alias("rank"))

@@ -174,3 +174,21 @@ def test_khop_subgraph_induced_semantics(spark):
     assert got == [(0, 1), (1, 2)]  # reach {0,1,2}; edge (2,3) excluded (3 not reached)
     got3 = sorted((r.src, r.dst) for r in nhop.khop_subgraph(spark, ec, seeds, 3).collect())
     assert got3 == [(0, 1), (1, 2), (2, 3)]
+
+
+def test_personalized_pagerank_mass_and_locality(spark):
+    """PPR invariants: total mass 1, seeds hold the highest ranks on a
+    symmetric path (proximity ranking), zero mass on disconnected parts."""
+    # path 0-1-2-...-9 plus a disconnected pair (100, 101)
+    edges = [(i, i + 1) for i in range(9)] + [(100, 101)]
+    ec = graph.canonicalize(fixtures.edges_df(spark, edges))
+    sym = graph.symmetrize(ec)
+    seeds = spark.createDataFrame([(0,)], "seed long")
+    r = {row.vid: row.rank for row in
+         pagerank.personalized_pagerank(spark, sym, seeds, tol=1e-10, max_iter=60).collect()}
+    assert abs(sum(r.values()) - 1.0) < 1e-6
+    assert r[100] == 0.0 and r[101] == 0.0
+    # rank decays with distance from the seed neighborhood (the seed's
+    # direct neighbor may legitimately exceed the degree-1 seed itself,
+    # since ALL of the seed's outflow lands on it)
+    assert r[1] > r[3] > r[6] and r[0] > r[3]
