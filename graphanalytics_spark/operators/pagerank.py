@@ -227,14 +227,25 @@ def pagerank_csr(
 
         if len(edges_pdf) == 0 or len(state_pdf) == 0:
             return pd.DataFrame({"vid": [], "c": []}).astype({"vid": "int64", "c": "float64"})
-        # block-local CSR-style gather: map src -> rank via positional index
-        rank_by_vid = pd.Series(
-            state_pdf["rank"].values, index=state_pdf["vid"].values
-        )
-        src_rank = rank_by_vid.reindex(edges_pdf["src"].values).values
-        contrib = edges_pdf["frac"].values * src_rank
-        res = pd.DataFrame({"vid": edges_pdf["dst"].values, "c": contrib})
-        return res.groupby("vid", as_index=False)["c"].sum()
+        # block-local CSR-style kernel, all numpy: gather src ranks by
+        # binary search over the sorted block vertex ids, scatter the
+        # contributions onto the block-local dst index space with
+        # np.add.at — the per-partition analog of the reference's
+        # gather/scatter kernel loop (kernel_louvain.cpp:25-135)
+        vids = state_pdf["vid"].to_numpy(dtype=np.int64)
+        ranks = state_pdf["rank"].to_numpy(dtype=np.float64)
+        order = np.argsort(vids, kind="stable")
+        vids_s, ranks_s = vids[order], ranks[order]
+        src = edges_pdf["src"].to_numpy(dtype=np.int64)
+        # co-grouping guarantees every edge's src is in this block's state
+        contrib = edges_pdf["frac"].to_numpy(dtype=np.float64) * ranks_s[
+            np.searchsorted(vids_s, src)
+        ]
+        dst = edges_pdf["dst"].to_numpy(dtype=np.int64)
+        uniq, inv = np.unique(dst, return_inverse=True)
+        acc = np.zeros(len(uniq), dtype=np.float64)
+        np.add.at(acc, inv, contrib)
+        return pd.DataFrame({"vid": uniq, "c": acc})
 
     base = (1.0 - damping) / n
     for it in range(1, max_iter + 1):
