@@ -343,6 +343,43 @@ _EVENTS_HOURLY_SQL = """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:
 FROM events GROUP BY 1, 2"""
 
 
+def _events_by_segment(spark, sf_dir):
+    """Stream-static join enrichment, batch form (the streaming twin is
+    parity-tested in tests/test_streaming.py): events ⋈ broadcast customer
+    dim → hourly counts per market segment
+    (streaming/events.py:enriched_event_counts). Decimal-summed values for
+    cross-engine hash stability."""
+    ev = _t(spark, sf_dir, "events")
+    cust = _t(spark, sf_dir, "customer")
+    dim = cust.select(
+        F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("segment")
+    )
+    return (
+        ev.join(F.broadcast(dim), "user_id", "left")
+        .fillna({"segment": "UNKNOWN"})
+        .groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "hour"
+            ),
+            "segment",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias(
+                "sum_value"
+            ),
+        )
+    )
+
+
+_EVENTS_BY_SEGMENT_SQL = """SELECT
+  strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+  coalesce(c.c_mktsegment, 'UNKNOWN') AS segment, count(*) AS n_events,
+  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events e LEFT JOIN customer c ON c.c_custkey = e.user_id
+GROUP BY 1, 2"""
+
+
 def _event_sessions(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts")
@@ -1391,6 +1428,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customers_without_orders": _customers_without_orders,
         "repeat_customers": _repeat_customers,
         "events_hourly": _events_hourly,
+        "events_by_segment": _events_by_segment,
         "event_sessions": _event_sessions,
         "copurchase_edges": _copurchase_edges,
         "vertex_degrees": _vertex_degrees,
@@ -1452,6 +1490,7 @@ def oracle_sql() -> dict[str, str]:
         "customers_without_orders": _CWO_SQL,
         "repeat_customers": _REPEAT_CUST_SQL,
         "events_hourly": _EVENTS_HOURLY_SQL,
+        "events_by_segment": _EVENTS_BY_SEGMENT_SQL,
         "event_sessions": _EVENT_SESSIONS_SQL,
         "copurchase_edges": _EDGES_SQL,
         "vertex_degrees": _VDEG_SQL,

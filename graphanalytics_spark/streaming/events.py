@@ -129,3 +129,41 @@ def run_to_completion(stream_df: DataFrame, tmpdir: str) -> DataFrame:
     )
     q.awaitTermination()
     return stream_df.sparkSession.sql("SELECT * FROM ga_stream_result")
+
+
+def enriched_event_counts(
+    events: DataFrame,
+    customer_dim: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream–static join enrichment: each streaming event is joined
+    against a static dimension table BEFORE the windowed aggregation, so
+    counts roll up by customer segment. The static side is broadcast per
+    micro-batch (Spark re-plans the batch side each trigger — dimension
+    updates are picked up without restarting the query); the stateful
+    aggregation keys on (window, segment), so state size is bounded by
+    segments × open windows, independent of stream volume.
+
+    customer_dim: (c_custkey, c_mktsegment) — the driver's customer table
+    shape. Works identically on a batch DataFrame — the batch-parity test
+    runs the same function both ways.
+    """
+    dim = customer_dim.select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    return (
+        events.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+        .join(F.broadcast(dim), "user_id", "left")
+        .fillna({"segment": "UNKNOWN"})
+        .groupBy(F.window("ts", window).alias("w"), "segment")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "segment",
+            "n_events",
+            "sum_value",
+        )
+    )

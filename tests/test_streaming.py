@@ -111,3 +111,34 @@ def test_incremental_link_ingest_batch_parity(spark, tmp_path):
         .collect()
     }
     assert got == expected and len(got) > 10
+
+
+def test_enriched_counts_stream_static_join_parity(spark, tmp_path):
+    """Stream-static join enrichment: the streaming (events ⋈ customer-dim
+    → windowed agg by segment) drained with availableNow equals the same
+    function applied to the batch DataFrame (watermark is a no-op in
+    batch)."""
+    import shutil
+
+    src_dir = tmp_path / "events_dir"
+    src_dir.mkdir()
+    shutil.copy(
+        "/root/testdata/sf0.001/events.parquet", src_dir / "part-0.parquet"
+    )
+    customer = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    batch = spark.read.parquet(str(src_dir))
+    stream = sev.read_events_stream(spark, str(src_dir), batch.schema)
+
+    agg = sev.enriched_event_counts(stream, customer, window="1 hour")
+    got = sev.run_to_completion(agg, str(tmp_path / "ckpt2")).toPandas()
+    expected = sev.enriched_event_counts(batch, customer, window="1 hour").toPandas()
+
+    key = ["window_start", "segment"]
+    got = got.sort_values(key).reset_index(drop=True)
+    expected = expected.sort_values(key).reset_index(drop=True)
+    assert len(got) == len(expected) > 0
+    assert set(got["segment"]) - {"UNKNOWN"} <= {
+        "MACHINERY", "AUTOMOBILE", "HOUSEHOLD", "BUILDING", "FURNITURE"
+    }
+    assert (got["n_events"].values == expected["n_events"].values).all()
+    assert (abs(got["sum_value"].values - expected["sum_value"].values) < 1e-9).all()
