@@ -83,11 +83,21 @@ def main():
     dedup.minhash_lsh_pairs(spark, docs, num_perm=16, bands=4).count()
     timings["minhash_lsh"] = time.monotonic() - t0
 
+    from graphanalytics_spark.functions.pipeline import corpus_clean
+
+    t0 = time.monotonic()
+    corpus_clean(spark, docs, lang="en", min_quality=0.88).count()
+    timings["corpus_clean"] = time.monotonic() - t0
+
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     target = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
     t0 = time.monotonic()
     similarity.cosine_topk(spark, emb, target, k=20).collect()
     timings["cosine_topk"] = time.monotonic() - t0
+
+    t0 = time.monotonic()
+    similarity.knn_join_lsh(spark, emb, emb, k=3, exclude_self=True).count()
+    timings["knn_join_lsh"] = time.monotonic() - t0
 
     total = sum(timings.values())
     result = {
