@@ -438,6 +438,19 @@ SELECT count(*) AS n_vertices, CAST(sum(degree) / 2 AS BIGINT) AS n_edges,
 FROM d"""
 
 
+def _degree_histogram(spark, sf_dir):
+    """Log2-bucketed degree histogram — the hub-skew diagnostic
+    (graph.py:degree_histogram)."""
+    return graph.degree_histogram(graph.symmetrize(_graph_full(spark, sf_dir)))
+
+
+_DEGHIST_SQL = f"""WITH {_E}, {_SYM},
+d AS (SELECT src, count(*) AS degree FROM sym GROUP BY src)
+SELECT CAST(floor(log2(degree)) AS BIGINT) AS bucket,
+  count(*) AS n_vertices
+FROM d GROUP BY 1"""
+
+
 def _triangle_count(spark, sf_dir):
     return triangles.triangle_count(spark, _graph_full(spark, sf_dir))
 
@@ -1433,6 +1446,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "copurchase_edges": _copurchase_edges,
         "vertex_degrees": _vertex_degrees,
         "degree_stats": _degree_stats,
+        "degree_histogram": _degree_histogram,
         "triangle_count": _triangle_count,
         "triangles_per_vertex": _triangles_per_vertex,
         "pagerank_5iter": _pagerank_5iter,
@@ -1495,6 +1509,7 @@ def oracle_sql() -> dict[str, str]:
         "copurchase_edges": _EDGES_SQL,
         "vertex_degrees": _VDEG_SQL,
         "degree_stats": _DEGSTATS_SQL,
+        "degree_histogram": _DEGHIST_SQL,
         "triangle_count": _TRI_SQL,
         "triangles_per_vertex": _TRI_PV_SQL,
         "pagerank_5iter": _pagerank5_sql(),

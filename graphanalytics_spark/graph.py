@@ -80,6 +80,20 @@ def degree_stats(edges_sym: DataFrame) -> DataFrame:
     )
 
 
+def degree_histogram(edges_sym: DataFrame) -> DataFrame:
+    """Log2-bucketed degree histogram (bucket k holds degrees in
+    [2^k, 2^{k+1})) — the skew diagnostic that decides salting/AQE
+    settings before a 100 TB run; the distribution-report analog of the
+    reference's displayGraphCharacteristics
+    (/root/reference/grappolo/src/utilityFunctions.cpp:75)."""
+    d = degrees(edges_sym)
+    return (
+        d.select(F.floor(F.log2("degree")).cast("long").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_vertices"))
+    )
+
+
 def isolate_vertices(edges: DataFrame, removed: DataFrame) -> DataFrame:
     """Remove a vertex set from the graph (``GraphCSR::isolateVertex``
     analog, /root/reference/mis/include/xilinxmis.hpp:86-106): anti-join on
