@@ -49,7 +49,14 @@ def connected_components(
     ``checkpointer`` (plans.checkpoint.CheckpointManager) give the same
     kill-and-resume semantics as pagerank."""
     sym = symmetrize(edges_canon).select("src", "dst")
+    if partitions is None:
+        try:
+            partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        except (TypeError, ValueError):
+            partitions = spark.sparkContext.defaultParallelism
     if partitions:
+        # static side partitioned on the gather key once — per round only
+        # the vertex-state table is exchanged (same policy as pagerank)
         sym = sym.repartition(partitions, "src")
     sym = sym.persist()
     n_edges = sym.count()

@@ -42,7 +42,13 @@ def label_propagation(
     vid; converges when no label changes in a sweep or max_iter reached.
     ``initial_state``/``checkpointer`` give kill-and-resume semantics."""
     sym = symmetrize(edges_canon)
+    if partitions is None:
+        try:
+            partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        except (TypeError, ValueError):
+            partitions = spark.sparkContext.defaultParallelism
     if partitions:
+        # static side partitioned on the gather key once (pagerank policy)
         sym = sym.repartition(partitions, "src")
     sym = sym.persist()
     n_edges = sym.count()
