@@ -960,6 +960,32 @@ _MULTIMODAL_SQL = """SELECT doc_id AS media_id,
 FROM documents"""
 
 
+def _frame_sample_plan(spark, sf_dir):
+    """Video frame-sampling plan over a metadata-derived media table
+    (duration_ms = n_chars·10; modality by doc_id%3): one row per frame to
+    decode, built purely from metadata — the decode itself is the
+    container-stubbed step (functions/multimodal.py:frame_sample_plan)."""
+    from graphanalytics_spark.functions import multimodal
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("modality"),
+        (F.col("n_chars") * 10).cast("long").alias("duration_ms"),
+    )
+    return multimodal.frame_sample_plan(media, every_ms=2500)
+
+
+_FRAME_SAMPLE_SQL = """WITH vids AS (
+  SELECT doc_id AS media_id, n_chars * 10 AS duration_ms
+  FROM documents WHERE doc_id % 3 = 2)
+SELECT media_id, CAST(t.ts / 2500 AS INT) AS frame_idx, t.ts AS ts_ms
+FROM vids, unnest(generate_series(0, duration_ms, 2500)) AS t(ts)"""
+
+
 def _embedding_norms(spark, sf_dir):
     return similarity.embedding_norms(_t(spark, sf_dir, "embeddings"))
 
@@ -1474,6 +1500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_docfreq": _token_docfreq,
         "embedding_norms": _embedding_norms,
         "multimodal_payload_stats": _multimodal_payload_stats,
+        "frame_sample_plan": _frame_sample_plan,
         "read_mtx_fixture": _read_mtx_fixture,
         "read_snap_fixture": _read_snap_fixture,
         "read_dimacs9_fixture": _read_dimacs9_fixture,
@@ -1537,6 +1564,7 @@ def oracle_sql() -> dict[str, str]:
         "token_docfreq": _TOKEN_DOCFREQ_SQL,
         "embedding_norms": _NORMS_SQL,
         "multimodal_payload_stats": _MULTIMODAL_SQL,
+        "frame_sample_plan": _FRAME_SAMPLE_SQL,
         "read_mtx_fixture": _mtx_fixture_sql(),
         "read_snap_fixture": _snap_fixture_sql(),
         "read_dimacs9_fixture": _dimacs9_fixture_sql(),
