@@ -380,6 +380,37 @@ FROM events e LEFT JOIN customer c ON c.c_custkey = e.user_id
 GROUP BY 1, 2"""
 
 
+def _events_topk_hourly(spark, sf_dir):
+    """Trending query: top-3 event types per hour by count (ties → lower
+    type name), the windowed-rank shape a streaming dashboard consumes —
+    batch twin of the windowed_event_counts stream with a rank on top."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+            "hour"
+        ),
+        "event_type",
+    ).agg(F.count("*").alias("n_events"))
+    w = Window.partitionBy("hour").orderBy(
+        F.desc("n_events"), F.asc("event_type")
+    )
+    return (
+        hourly.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("hour", "event_type", "n_events", "rnk")
+    )
+
+
+_EVENTS_TOPK_SQL = """SELECT hour, event_type, n_events, rnk FROM (
+  SELECT hour, event_type, n_events, row_number() OVER (
+    PARTITION BY hour ORDER BY n_events DESC, event_type ASC) AS rnk
+  FROM (
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+      event_type, count(*) AS n_events
+    FROM events GROUP BY 1, 2))
+WHERE rnk <= 3"""
+
+
 def _event_sessions(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts")
@@ -1468,6 +1499,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repeat_customers": _repeat_customers,
         "events_hourly": _events_hourly,
         "events_by_segment": _events_by_segment,
+        "events_topk_hourly": _events_topk_hourly,
         "event_sessions": _event_sessions,
         "copurchase_edges": _copurchase_edges,
         "vertex_degrees": _vertex_degrees,
@@ -1532,6 +1564,7 @@ def oracle_sql() -> dict[str, str]:
         "repeat_customers": _REPEAT_CUST_SQL,
         "events_hourly": _EVENTS_HOURLY_SQL,
         "events_by_segment": _EVENTS_BY_SEGMENT_SQL,
+        "events_topk_hourly": _EVENTS_TOPK_SQL,
         "event_sessions": _EVENT_SESSIONS_SQL,
         "copurchase_edges": _EDGES_SQL,
         "vertex_degrees": _VDEG_SQL,
