@@ -1154,7 +1154,12 @@ def _ann_probe_topk(spark, sf_dir):
 
     emb = _t(spark, sf_dir, "embeddings")
     target = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    # cache key includes the source file's mtime+size fingerprint so a
+    # regenerated embeddings fixture at the same path invalidates the index
+    st = os.stat(f"{sf_dir}/embeddings.parquet")
+    tag = hashlib.md5(
+        f"{sf_dir}:{st.st_mtime_ns}:{st.st_size}".encode()
+    ).hexdigest()[:10]
     path = f"/root/repo/.fixtures/ann_index_{tag}"
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         similarity.write_ann_index(emb, path)

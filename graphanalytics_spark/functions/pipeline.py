@@ -37,6 +37,19 @@ from graphanalytics_spark.functions import text
 from graphanalytics_spark.functions.dedup import near_dup_verified, normalized_text
 
 
+def _annotate(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """One pass of per-document signals: (doc_id, text, lang_pred,
+    quality). Shared by corpus_clean and corpus_clean_report so the
+    text-analysis scan runs once."""
+    lang_tbl = text.language_id(docs)
+    qual_tbl = text.quality_score(docs)
+    return (
+        docs.select("doc_id", text_col)
+        .join(lang_tbl, "doc_id")
+        .join(qual_tbl, "doc_id")
+    )
+
+
 def corpus_clean(
     spark: SparkSession,
     docs: DataFrame,
@@ -47,17 +60,13 @@ def corpus_clean(
     num_perm: int = 16,
     bands: int = 4,
     text_col: str = "text",
+    annotated: DataFrame | None = None,
 ) -> DataFrame:
     """Clean a document corpus; returns the survivors as
     (doc_id, lang_pred, quality). ``lang=None`` skips the language filter.
-    """
-    lang_tbl = text.language_id(docs)
-    qual_tbl = text.quality_score(docs)
-    base = (
-        docs.select("doc_id", text_col)
-        .join(lang_tbl, "doc_id")
-        .join(qual_tbl, "doc_id")
-    )
+    ``annotated`` lets a caller (corpus_clean_report) pass a precomputed
+    ``_annotate`` table so the signal scan is not repeated."""
+    base = annotated if annotated is not None else _annotate(docs, text_col)
     kept = base
     if lang is not None:
         kept = kept.filter(F.col("lang_pred") == lang)
@@ -97,14 +106,7 @@ def corpus_clean_report(
     as ``corpus_clean`` with counts at each stage boundary."""
     lang = kwargs.get("lang", "en")
     min_quality = kwargs.get("min_quality", 0.0)
-    lang_tbl = text.language_id(docs)
-    qual_tbl = text.quality_score(docs)
-    base = (
-        docs.select("doc_id", kwargs.get("text_col", "text"))
-        .join(lang_tbl, "doc_id")
-        .join(qual_tbl, "doc_id")
-        .persist()
-    )
+    base = _annotate(docs, kwargs.get("text_col", "text")).persist()
     total = base.count()
     after_lang = (
         base.filter(F.col("lang_pred") == lang).count() if lang is not None else total
@@ -115,7 +117,9 @@ def corpus_clean_report(
             & (F.col("quality") >= min_quality)
         ).count()
     )
-    final = corpus_clean(spark, docs, **kwargs).count()
+    # the funnel's final stage reuses the SAME persisted annotation table —
+    # the whole report is one text-analysis pass over the corpus
+    final = corpus_clean(spark, docs, annotated=base, **kwargs).count()
     base.unpersist()
     return {
         "total": total,

@@ -181,14 +181,19 @@ def salted_sum(
     instead of dropping hub neighbors we split the hub's incoming stream
     across ``salt_buckets`` reducers and combine.
 
-    The salt hashes the full row content (NOT monotonically_increasing_id,
-    which differs across task retries): deterministic under speculative
-    execution and replays; identical rows share a bucket, which still
-    spreads a hub key's stream because its rows differ in the other columns.
+    The salt hashes the row content PLUS the input partition id (NOT
+    monotonically_increasing_id, whose values differ across task retries):
+    deterministic under speculative execution and replays for a fixed input
+    partitioning, and the partition-id component spreads even fully
+    duplicate rows (e.g. millions of identical (hub, 1.0) contributions)
+    across buckets instead of collapsing them onto one reducer.
     """
     salted = df.withColumn(
         "_salt",
-        F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt_buckets)),
+        F.pmod(
+            F.xxhash64(F.spark_partition_id(), *[F.col(c) for c in df.columns]),
+            F.lit(salt_buckets),
+        ),
     )
     partial = salted.groupBy(key, "_salt").agg(F.sum(value).alias("_partial"))
     return partial.groupBy(key).agg(F.sum("_partial").alias(out))

@@ -114,7 +114,7 @@ def connected_components(
         # localCheckpoint piggybacking on the count below + periodic hard
         # parquet reset — chained localCheckpoints alone still degrade
         # exponentially in Spark 4.1)
-        new_state = truncator.truncate(new_state, it)
+        new_state = truncator.truncate(new_state, it, stream="state")
         n_changed = new_state.filter("changed").count()
         state.unpersist()
         state = new_state.drop("changed")

@@ -85,7 +85,7 @@ def label_propagation(
             )
         )
         # per-iteration lineage truncation (see plans/truncate.py)
-        new_state = truncator.truncate(new_state, it)
+        new_state = truncator.truncate(new_state, it, stream="state")
         n_changed = new_state.filter("changed").count()
         state.unpersist()
         state = new_state.drop("changed")

@@ -186,6 +186,10 @@ def _one_phase(
                 (F.coalesce("new_label", "label") != F.col("label")).alias("changed"),
             )
         )
+        # NOTE: no GC stream here — the phase's final state escapes via
+        # `labels` into the mapping/contract chain, which can stay lazy
+        # until after the NEXT phase's rounds; deleting superseded
+        # snapshots could break that un-materialized lineage
         new_state = truncator.truncate(new_state, rnd)
         n_moved = new_state.filter("changed").count()
         state = new_state.drop("changed")

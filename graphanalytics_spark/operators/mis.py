@@ -94,7 +94,9 @@ def maximal_independent_set(
             )
         )
         dead = round_sel.select("vid").union(nbrs_of_sel).distinct()
-        new_active = truncator.truncate(active.join(dead, "vid", "left_anti"), it)
+        new_active = truncator.truncate(
+            active.join(dead, "vid", "left_anti"), it, stream="active"
+        )
         remaining = new_active.count()
         active.unpersist()
         active = new_active

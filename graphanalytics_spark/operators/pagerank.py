@@ -147,7 +147,7 @@ def pagerank(
             F.abs(new_rank_expr - F.col("rank")).alias("delta"),
         )
         # per-iteration lineage truncation (see plans/truncate.py)
-        new_state = truncator.truncate(new_state, it)
+        new_state = truncator.truncate(new_state, it, stream="state")
         agg = new_state.agg(
             F.max("delta").alias("d"),
             F.sum(F.when(F.col("dangling"), F.col("rank")).otherwise(0.0)).alias("dm"),
@@ -268,7 +268,7 @@ def pagerank_csr(
             F.abs(new_rank_expr - F.col("rank")).alias("delta"),
         )
         # per-iteration lineage truncation (see plans/truncate.py)
-        new_state = truncator.truncate(new_state, it)
+        new_state = truncator.truncate(new_state, it, stream="state")
         agg = new_state.agg(
             F.max("delta").alias("d"),
             F.sum(F.when(F.col("dangling"), F.col("rank")).otherwise(0.0)).alias("dm"),
@@ -349,12 +349,17 @@ def personalized_pagerank(
         "vid", F.col("src").isNull().alias("dangling")
     )
     s = seeds.select(F.col(seeds.columns[0]).alias("vid")).distinct()
-    n_s = s.count()
+    flagged = verts.join(s.withColumn("_s", F.lit(True)), "vid", "left").persist()
+    # normalize over the seeds PRESENT IN THE GRAPH — a seed id with no
+    # edges carries no mass anywhere, so counting it would silently scale
+    # every rank down and break the Σ rank = 1 invariant
+    n_s = flagged.filter("_s").count()
     if n_s == 0:
-        raise ValueError("personalized_pagerank needs a non-empty seed set")
+        raise ValueError(
+            "personalized_pagerank needs at least one seed that appears in the graph"
+        )
     state = (
-        verts.join(s.withColumn("_s", F.lit(True)), "vid", "left")
-        .select(
+        flagged.select(
             "vid",
             F.when(F.col("_s"), F.lit(1.0 / n_s)).otherwise(F.lit(0.0)).alias("base"),
             "dangling",
@@ -363,6 +368,7 @@ def personalized_pagerank(
         .persist()
     )
     dangling_mass = state.filter("dangling").agg(F.sum("rank")).first()[0] or 0.0
+    flagged.unpersist()
 
     for it in range(1, max_iter + 1):
         t0 = time.monotonic()
@@ -383,7 +389,7 @@ def personalized_pagerank(
             "dangling",
             F.abs(new_rank_expr - F.col("rank")).alias("delta"),
         )
-        new_state = truncator.truncate(new_state, it)
+        new_state = truncator.truncate(new_state, it, stream="state")
         agg = new_state.agg(
             F.max("delta").alias("d"),
             F.sum(F.when(F.col("dangling"), F.col("rank")).otherwise(0.0)).alias("dm"),

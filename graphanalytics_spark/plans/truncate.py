@@ -47,8 +47,11 @@ class LineageTruncator:
         if self._own_dir:
             atexit.register(self.cleanup)
         self._count = 0
+        self._last_path: dict[str, str] = {}
 
-    def truncate(self, df: DataFrame, iteration: int) -> DataFrame:
+    def truncate(
+        self, df: DataFrame, iteration: int, stream: str | None = None
+    ) -> DataFrame:
         """Return an equivalent DataFrame with truncated lineage.
 
         The soft path is a LAZY localCheckpoint: every caller in this
@@ -56,12 +59,27 @@ class LineageTruncator:
         immediately after truncating, and a lazy checkpoint piggybacks on
         that job — one scheduling round per iteration instead of two.
         (Spark recomputes any partition a partial action skipped when the
-        checkpoint finalizes, so laziness never changes semantics.)"""
+        checkpoint finalizes, so laziness never changes semantics.)
+
+        ``stream`` opts into snapshot garbage collection: when a hard
+        snapshot of the same stream lands, the previous one is DELETED —
+        essential now that the default base_dir is tmpfs, where a long run
+        would otherwise accumulate every superseded vertex-state copy in
+        RAM. Only pass a stream when each snapshot fully supersedes the
+        previous one (an iterative state loop); leave it None for tables
+        that stay referenced across later truncations (e.g. Louvain's
+        per-phase graph/mapping, which best_mapping may still point at)."""
         self._count += 1
         if self.hard_every and iteration % self.hard_every == 0:
             path = f"{self.base_dir}/it_{iteration:06d}_{self._count}"
             df.write.mode("overwrite").parquet(path)
-            return self.spark.read.parquet(path)
+            out = self.spark.read.parquet(path)
+            if stream is not None:
+                prev = self._last_path.get(stream)
+                if prev and prev != path:
+                    shutil.rmtree(prev, ignore_errors=True)
+                self._last_path[stream] = path
+            return out
         return df.localCheckpoint(eager=False)
 
     def cleanup(self):

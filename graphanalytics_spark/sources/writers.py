@@ -122,10 +122,15 @@ def write_csr_binary(
     )
     n_part = chunk_partitions or spark.sparkContext.defaultParallelism
 
-    def _concat_chunks(staging: str, out_path: str, lead: bytes = b"") -> None:
+    def _concat_chunks(
+        staging: str, names: list[str], out_path: str, lead: bytes = b""
+    ) -> None:
+        """Concatenate exactly the chunk files the WINNING task attempts
+        reported (in partition order) — files from losing speculative /
+        zombie attempts may coexist in the staging dir and are ignored."""
         with open(out_path, "wb") as out:
             out.write(lead)
-            for name in sorted(os.listdir(staging)):
+            for name in names:
                 with open(os.path.join(staging, name), "rb") as f:
                     shutil.copyfileobj(f, out)
         shutil.rmtree(staging)
@@ -140,8 +145,14 @@ def write_csr_binary(
     def dump_colidx(batches):
         from pyspark import TaskContext
 
-        pid = TaskContext.get().partitionId()
-        path = os.path.join(staging_ci, f"part-{pid:05d}.bin")
+        tc = TaskContext.get()
+        pid = tc.partitionId()
+        # attempt-unique filename: under speculative execution / zombie
+        # retries two attempts of the same partition may write
+        # concurrently; each writes its own file and the driver
+        # concatenates only the files the winning attempts reported
+        name = f"part-{pid:05d}-{tc.taskAttemptId()}.bin"
+        path = os.path.join(staging_ci, name)
         n = 0
         with open(path, "wb") as f:
             for pdf in batches:
@@ -149,10 +160,16 @@ def write_csr_binary(
                 n += len(pdf)
         if n == 0:
             os.remove(path)
-        yield pd.DataFrame({"pid": [pid], "n": [n]})
+            name = None
+        yield pd.DataFrame({"pid": [pid], "n": [n], "name": [name]})
 
-    srt.mapInPandas(dump_colidx, "pid int, n long").collect()
-    _concat_chunks(staging_ci, col_idx_path)
+    ci_acks = sorted(
+        (r["pid"], r["name"])
+        for r in srt.mapInPandas(dump_colidx, "pid int, n long, name string").collect()
+    )
+    _concat_chunks(
+        staging_ci, [n for _, n in ci_acks if n], col_idx_path
+    )
 
     # --- row_ptr: two-pass distributed prefix sum over degrees ---
     deg = sym.groupBy("src").agg(F.count("*").alias("cnt"))
@@ -192,28 +209,37 @@ def write_csr_binary(
     def dump_rowptr(batches):
         from pyspark import TaskContext
 
-        pid = TaskContext.get().partitionId()
+        tc = TaskContext.get()
+        pid = tc.partitionId()
         srcs, cnts = [], []
         for pdf in batches:
             srcs.append(pdf["src"].to_numpy(dtype=np.int64))
             cnts.append(pdf["cnt"].to_numpy(dtype=np.int64))
         srcs = np.concatenate(srcs) if srcs else np.empty(0, np.int64)
+        name = None
         if len(srcs):
             cnts = np.concatenate(cnts)
             # row_ptr[v+1] = base + Σ cnt over src ≤ v, for v in (floor, hi]
             vids = np.arange(floor[pid] + 1, srcs[-1] + 1, dtype=np.int64)
             csum = np.concatenate([[0], np.cumsum(cnts)])
             vals = base[pid] + csum[np.searchsorted(srcs, vids, side="right")]
-            vals.astype("<i4").tofile(
-                os.path.join(staging_rp, f"part-{pid:05d}.bin")
-            )
-        yield pd.DataFrame({"pid": [pid]})
+            name = f"part-{pid:05d}-{tc.taskAttemptId()}.bin"
+            vals.astype("<i4").tofile(os.path.join(staging_rp, name))
+        yield pd.DataFrame({"pid": [pid], "name": [name]})
 
-    dsrt.mapInPandas(dump_rowptr, "pid int").collect()
+    rp_acks = sorted(
+        (r["pid"], r["name"])
+        for r in dsrt.mapInPandas(dump_rowptr, "pid int, name string").collect()
+    )
     dsrt.unpersist()
     # leading row_ptr[0]=0; trailing fill for any dense ids past the last
     # src (cannot occur after symmetrize, kept as a guard)
-    _concat_chunks(staging_rp, row_ptr_path, lead=np.zeros(1, "<i4").tobytes())
+    _concat_chunks(
+        staging_rp,
+        [n for _, n in rp_acks if n],
+        row_ptr_path,
+        lead=np.zeros(1, "<i4").tobytes(),
+    )
     if n_v > last_vid + 1:
         with open(row_ptr_path, "ab") as f:
             np.full(n_v - last_vid - 1, total_edges, "<i4").tofile(f)

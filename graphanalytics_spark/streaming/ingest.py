@@ -41,7 +41,12 @@ def incremental_link_ingest(
             .groupBy("src_repo", "dst_repo")
             .agg(F.count("*").cast("double").alias("weight"))
         )
-        delta.write.mode("append").parquet(delta_dir)
+        # idempotent per micro-batch: each batch OVERWRITES its own
+        # batch_id-keyed subdirectory, so a batch replayed after a crash
+        # between the parquet write and the checkpoint commit replaces its
+        # previous partial output instead of double-counting — the
+        # exactly-once contract an Iceberg/Delta append commit gives
+        delta.write.mode("overwrite").parquet(f"{delta_dir}/batch={batch_id}")
 
     return (
         repos_stream.writeStream.foreachBatch(append_delta)
@@ -53,9 +58,10 @@ def incremental_link_ingest(
 
 def read_link_table(spark: SparkSession, delta_dir: str) -> DataFrame:
     """Delta-compaction view: the current weighted link table
-    (src_repo, dst_repo, weight) — sum of all appended deltas."""
+    (src_repo, dst_repo, weight) — sum over the batch=N delta partitions."""
     return (
         spark.read.parquet(delta_dir)
+        .select("src_repo", "dst_repo", "weight")  # drop the batch key
         .groupBy("src_repo", "dst_repo")
         .agg(F.sum("weight").alias("weight"))
     )

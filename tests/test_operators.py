@@ -192,3 +192,22 @@ def test_personalized_pagerank_mass_and_locality(spark):
     # direct neighbor may legitimately exceed the degree-1 seed itself,
     # since ALL of the seed's outflow lands on it)
     assert r[1] > r[3] > r[6] and r[0] > r[3]
+
+
+def test_personalized_pagerank_ignores_absent_seeds(spark):
+    """Seeds not present in the graph must not scale ranks down: Σ rank
+    stays 1 (normalization counts only in-graph seeds); an all-absent seed
+    set raises."""
+    import pytest as _pytest
+
+    edges = [(i, i + 1) for i in range(9)]
+    ec = graph.canonicalize(fixtures.edges_df(spark, edges))
+    sym = graph.symmetrize(ec)
+    seeds = spark.createDataFrame([(0,), (999,)], "seed long")  # 999 absent
+    r = {row.vid: row.rank for row in
+         pagerank.personalized_pagerank(spark, sym, seeds, tol=1e-10, max_iter=50).collect()}
+    assert abs(sum(r.values()) - 1.0) < 1e-6
+    with _pytest.raises(ValueError):
+        pagerank.personalized_pagerank(
+            spark, sym, spark.createDataFrame([(999,)], "seed long")
+        )

@@ -142,3 +142,59 @@ def test_enriched_counts_stream_static_join_parity(spark, tmp_path):
     }
     assert (got["n_events"].values == expected["n_events"].values).all()
     assert (abs(got["sum_value"].values - expected["sum_value"].values) < 1e-9).all()
+
+
+def test_incremental_ingest_batch_replay_is_idempotent(spark, tmp_path):
+    """A replayed micro-batch (crash between parquet write and checkpoint
+    commit) must not double-count: batch deltas are keyed by batch_id and
+    overwritten on retry."""
+    import pandas as pd
+
+    from graphanalytics_spark.streaming import ingest as sing
+
+    pdf = pd.DataFrame(
+        {
+            "repo": ["repo00001", "repo00002"],
+            "path": ["a.py", "b.py"],
+            "commit": ["c1", "c2"],
+            "lang": ["py", "py"],
+            "content": [
+                "import repo00002/lib.py and repo00002/util.py",
+                "see repo00001/a.py",
+            ],
+        }
+    )
+    repos = spark.createDataFrame(pdf)
+    delta_dir = str(tmp_path / "deltas")
+
+    # simulate foreachBatch running the same batch twice (replay after a
+    # crash that lost the checkpoint commit): same batch_id, same data
+    from graphanalytics_spark.ingest import extract_links
+    from pyspark.sql import functions as F
+
+    def write_batch(batch_id):
+        delta = (
+            extract_links(repos)
+            .groupBy("src_repo", "dst_repo")
+            .agg(F.count("*").cast("double").alias("weight"))
+        )
+        delta.write.mode("overwrite").parquet(f"{delta_dir}/batch={batch_id}")
+
+    write_batch(0)
+    once = {
+        (r.src_repo, r.dst_repo): r.weight
+        for r in sing.read_link_table(spark, delta_dir).collect()
+    }
+    write_batch(0)  # replay
+    twice = {
+        (r.src_repo, r.dst_repo): r.weight
+        for r in sing.read_link_table(spark, delta_dir).collect()
+    }
+    assert once == twice and once  # no double counting
+    # a genuinely NEW batch does accumulate
+    write_batch(1)
+    after_new = {
+        (r.src_repo, r.dst_repo): r.weight
+        for r in sing.read_link_table(spark, delta_dir).collect()
+    }
+    assert after_new == {k: v * 2 for k, v in once.items()}
