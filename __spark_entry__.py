@@ -1339,6 +1339,52 @@ SELECT CAST(split_part(ln, ' ', 2) AS BIGINT) - 1 AS src,
 FROM body"""
 
 
+# --- writer round-trip gates (sink → reader → oracle) ---
+
+def _writer_dir(sf_dir: str, name: str) -> str:
+    import hashlib
+    import os
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    d = f"/root/repo/.fixtures/roundtrip_{tag}"
+    os.makedirs(d, exist_ok=True)
+    return f"{d}/{name}"
+
+
+def _pajek_roundtrip(spark, sf_dir):
+    """Writer gate: sparse graph → write_pajek → read_pajek must
+    reproduce the edge table exactly (sources/writers.py:write_pajek,
+    readers.py:read_pajek) — the re-export surface of the reference's
+    writeGraphPajekFormat."""
+    from graphanalytics_spark.sources import readers, writers
+
+    e = _graph_sparse(spark, sf_dir)
+    path = _writer_dir(sf_dir, "pajek")
+    writers.write_pajek(e, path)
+    return readers.read_pajek(spark, path).select("src", "dst", "weight")
+
+
+_PAJEK_ROUNDTRIP_SQL = f"WITH {_ES} SELECT src, dst, weight FROM e"
+
+
+def _csr_roundtrip(spark, sf_dir):
+    """Distributed binary CSR sink gate: sparse graph → write_csr_binary
+    (range-partitioned chunked writer, attempt-safe) → read_csr_binary
+    must reproduce the SYMMETRIZED pair set (weights are not part of the
+    CSR binary format, fixed 1.0)."""
+    from graphanalytics_spark.sources import readers, writers
+
+    e = _graph_sparse(spark, sf_dir)
+    rp = _writer_dir(sf_dir, "rowptr.bin")
+    ci = _writer_dir(sf_dir, "colidx.bin")
+    writers.write_csr_binary(e, rp, ci)
+    return readers.read_csr_binary(spark, rp, ci)
+
+
+_CSR_ROUNDTRIP_SQL = f"""WITH {_ES}, {_SYM}
+SELECT src, dst, 1.0 AS weight FROM sym"""
+
+
 # --- IVF ANN + embedding-cosine near-dup ---
 
 def _ivf_topk(spark, sf_dir):
@@ -1541,6 +1587,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "read_mtx_fixture": _read_mtx_fixture,
         "read_snap_fixture": _read_snap_fixture,
         "read_dimacs9_fixture": _read_dimacs9_fixture,
+        "pajek_roundtrip": _pajek_roundtrip,
+        "csr_roundtrip": _csr_roundtrip,
         # iterative / index operators with derived oracles
         "lpa_2iter": _lpa_2iter,
         "mis_verified": _mis_verified,
@@ -1606,6 +1654,8 @@ def oracle_sql() -> dict[str, str]:
         "read_mtx_fixture": _mtx_fixture_sql(),
         "read_snap_fixture": _snap_fixture_sql(),
         "read_dimacs9_fixture": _dimacs9_fixture_sql(),
+        "pajek_roundtrip": _PAJEK_ROUNDTRIP_SQL,
+        "csr_roundtrip": _CSR_ROUNDTRIP_SQL,
         "lpa_2iter": _lpa2_sql(),
         "mis_verified": _MIS_VERIFIED_SQL,
         "louvain_q": _LOUVAIN_Q_SQL,
