@@ -354,6 +354,8 @@ def embedding_near_dup(
     seed: int = 42,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    max_bucket_size: int | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs — the semantic-dedup tier of
     the training-data pipeline (the reference's cosine top-K capability
@@ -366,15 +368,29 @@ def embedding_near_dup(
     pair stream is a (band, bucket) equi-join, quadratic only within a
     bucket, and the exact re-rank touches candidates only — the identical
     economics to MinHash-LSH → Jaccard-verify for text.
+
+    ``max_bucket_size`` is the hot-bucket guard (similarity.cap_bucket_size)
+    — one degenerate sign-pattern bucket (boilerplate-direction vectors) is
+    quadratic in its population without it. ``dim`` skips the driver probe
+    of the first row when the caller already knows the dimensionality.
     """
     from graphanalytics_spark.functions.similarity import (
         ann_band_buckets,
+        cap_bucket_size,
         cosine_sim_col,
+        embedding_dim,
     )
 
-    first = embeddings.select(vec_col).first()
-    dim = len(first[0]) if first else 0
-    b = ann_band_buckets(embeddings, dim, n_planes, n_bands, seed, vec_col, id_col)
+    if dim is None:
+        dim = embedding_dim(embeddings, vec_col)
+    if dim == 0:
+        # empty input (or empty vectors): no pairs, and hyperplane
+        # generation over dim=0 would be meaningless
+        return spark.createDataFrame([], "id_a long, id_b long, sim double")
+    b = cap_bucket_size(
+        ann_band_buckets(embeddings, dim, n_planes, n_bands, seed, vec_col, id_col),
+        max_bucket_size,
+    )
     l = b.select(
         F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"), "band", "bucket"
     )

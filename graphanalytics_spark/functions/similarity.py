@@ -189,6 +189,34 @@ def ann_band_buckets(
     ).select("vec_id", "embedding", "bb.band", "bb.bucket")
 
 
+def cap_bucket_size(banded: DataFrame, max_bucket_size: int | None) -> DataFrame:
+    """Drop (band, bucket) groups larger than ``max_bucket_size`` — the
+    hot-bucket guard for every LSH pair generator. A bucket with B members
+    emits O(B²) candidate pairs, so one degenerate bucket (near-zero or
+    boilerplate-direction vectors all sharing a sign pattern) is quadratic
+    in its population at corpus scale. Members of an over-cap bucket are
+    near-duplicates of *everything* in it and belong to an exact-dedup or
+    centroid pass, not pairwise verification. One extra window count, no
+    extra shuffle (the window key is the join key the plan already
+    exchanges on). None disables the guard (exact oracle parity)."""
+    if max_bucket_size is None:
+        return banded
+    w = Window.partitionBy("band", "bucket")
+    return (
+        banded.withColumn("_bsz", F.count("*").over(w))
+        .filter(F.col("_bsz") <= max_bucket_size)
+        .drop("_bsz")
+    )
+
+
+def embedding_dim(embeddings: DataFrame, vec_col: str = "embedding") -> int:
+    """Vector dimensionality: from schema metadata when a fixed-size arrow
+    type carries it, else one driver probe of the first row (0 on empty
+    input — callers must short-circuit)."""
+    first = embeddings.select(vec_col).first()
+    return len(first[0]) if first is not None and first[0] is not None else 0
+
+
 def write_ann_index(
     embeddings: DataFrame,
     path: str,
@@ -203,8 +231,7 @@ def write_ann_index(
     each) instead of the corpus — partition pruning does the candidate
     selection at the file-listing level. Rebuild cost is one corpus scan;
     embeddings are stored alongside so probes re-rank without a join back."""
-    first = embeddings.select(vec_col).first()
-    dim = len(first[0]) if first else 0
+    dim = embedding_dim(embeddings, vec_col)
     idx = ann_band_buckets(embeddings, dim, n_planes, n_bands, seed, vec_col, id_col)
     idx.write.mode("overwrite").partitionBy("band", "bucket").parquet(path)
 
@@ -381,9 +408,19 @@ def write_ivf_index(
     asg.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/cells")
 
 
+def _round_half_up(x: float, places: int) -> float:
+    """HALF_UP rounding matching Spark's F.round — Python's round() is
+    banker's (half-to-even), which can pick a different cell than the
+    executor-side assign_cells rule on exact-half scores."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q = Decimal(1).scaleb(-places)
+    return float(Decimal(repr(x)).quantize(q, rounding=ROUND_HALF_UP))
+
+
 def _nearest_cells(cent_rows, target: list[float], nprobe: int) -> list[int]:
     """Driver-side nprobe cell selection (centroid table is tiny), same
-    rounding + tie rules as assign_cells."""
+    rounding (HALF_UP, = F.round) + tie rules as assign_cells."""
     tnp = np.asarray(target, dtype=float)
     tn = float(np.sqrt(tnp @ tnp))
     scored = []
@@ -391,7 +428,7 @@ def _nearest_cells(cent_rows, target: list[float], nprobe: int) -> list[int]:
         cv = np.asarray(r["cv"], dtype=float)
         nn = float(np.sqrt(cv @ cv))
         sim = float(tnp @ cv / (tn * nn)) if tn > 0 and nn > 0 else 0.0
-        scored.append((round(sim, 8), -int(r["cid"])))
+        scored.append((_round_half_up(sim, 8), -int(r["cid"])))
     scored.sort(reverse=True)
     return [-ncid for _, ncid in scored[:nprobe]]
 
@@ -450,6 +487,7 @@ def knn_join_lsh(
     right_vec: str = "embedding",
     right_id: str = "vec_id",
     exclude_self: bool = False,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """All-pairs approximate KNN join: for every left vector, the top-K
     right vectors by cosine among LSH candidates (sharing ≥1 band bucket).
@@ -461,18 +499,24 @@ def knn_join_lsh(
     window top-K per left id. Returns (lid, rid, sim, rn).
 
     Scale note: bucket-local pair generation is quadratic within a bucket;
-    with ``n_planes`` tuned so the hottest bucket holds ≲ 10⁴ rows the join
-    output stays bounded. ``exclude_self`` drops lid==rid pairs for
-    self-join dedup use."""
-    first = left.select(left_vec).first()
-    dim = len(first[0]) if first else 0
-    lb = ann_band_buckets(
-        left, dim, n_planes, n_bands, seed, left_vec, left_id
+    ``max_bucket_size`` caps it (see ``cap_bucket_size``) — each side's
+    over-cap (band, bucket) groups are dropped before the join, bounding
+    output at ``cap²`` pairs per bucket. ``exclude_self`` drops lid==rid
+    pairs for self-join dedup use."""
+    dim = embedding_dim(left, left_vec)
+    if dim == 0:
+        return left.sparkSession.createDataFrame(
+            [], "lid long, rid long, sim double, rn int"
+        )
+    lb = cap_bucket_size(
+        ann_band_buckets(left, dim, n_planes, n_bands, seed, left_vec, left_id),
+        max_bucket_size,
     ).select(
         F.col("vec_id").alias("lid"), F.col("embedding").alias("lv"), "band", "bucket"
     )
-    rb = ann_band_buckets(
-        right, dim, n_planes, n_bands, seed, right_vec, right_id
+    rb = cap_bucket_size(
+        ann_band_buckets(right, dim, n_planes, n_bands, seed, right_vec, right_id),
+        max_bucket_size,
     ).select(
         F.col("vec_id").alias("rid"), F.col("embedding").alias("rv"), "band", "bucket"
     )

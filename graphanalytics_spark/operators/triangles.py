@@ -44,7 +44,13 @@ def _oriented(edges_canon: DataFrame) -> DataFrame:
 
 def _triangles(edges_canon: DataFrame) -> DataFrame:
     """All triangles as (x, y, z) corner triples (each exactly once)."""
-    a = _oriented(edges_canon).persist()
+    # Eager localCheckpoint, NOT persist: the oriented table feeds three
+    # plan branches, so it must be materialized once — but the returned
+    # DataFrame is lazy (the caller runs the action), so this function has
+    # no point at which it could unpersist a cache entry. Checkpoint blocks
+    # are RDD-scoped and reclaimed by the ContextCleaner when the result is
+    # dropped; a CacheManager entry would leak until session end.
+    a = _oriented(edges_canon).localCheckpoint(eager=True)
     e1 = a.select(F.col("a").alias("u"), F.col("b").alias("v"))
     e2 = a.select(F.col("a").alias("v"), F.col("b").alias("w"))
     wedges = e1.join(e2, "v").select("u", "v", "w")

@@ -20,9 +20,29 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def _write_json_atomic(path: str, obj: dict) -> None:
+    """tmp-file + os.replace so a crash mid-write never leaves a truncated
+    sidecar that would make a later resume parse garbage."""
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(obj, f, indent=2)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
+def _read_json_or_none(path: str) -> dict | None:
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return None
 
 
 class CheckpointManager:
@@ -39,9 +59,21 @@ class CheckpointManager:
     def _dir(self, iteration: int) -> str:
         return os.path.join(self.root, f"iter={iteration:05d}")
 
+    def _invalidate_after(self, iteration: int) -> None:
+        """Delete snapshots numbered above ``iteration``: when a root is
+        reused by a run that has progressed less far than a previous run,
+        ``latest()`` must not resurrect the old run's later snapshot (it
+        belongs to a different lineage)."""
+        if not os.path.isdir(self.root):
+            return
+        for d in os.listdir(self.root):
+            if d.startswith("iter=") and int(d.split("=")[1]) > iteration:
+                shutil.rmtree(os.path.join(self.root, d), ignore_errors=True)
+
     def save(self, iteration: int, state: DataFrame, metric: float) -> str:
         t0 = time.monotonic()
         path = self._dir(iteration)
+        self._invalidate_after(iteration)
         state.write.mode("overwrite").parquet(path)
         per_part = (
             self.spark.read.parquet(path)
@@ -58,8 +90,7 @@ class CheckpointManager:
             "schema": state.schema.json(),
             "complete": True,
         }
-        with open(os.path.join(path, "_lineage.json"), "w") as f:
-            json.dump(lineage, f, indent=2)
+        _write_json_atomic(os.path.join(path, "_lineage.json"), lineage)
         return path
 
     def maybe_save(self, iteration: int, state: DataFrame, metric: float):
@@ -72,10 +103,9 @@ class CheckpointManager:
         if not os.path.isdir(self.root):
             return out
         for d in sorted(os.listdir(self.root)):
-            lp = os.path.join(self.root, d, "_lineage.json")
-            if os.path.exists(lp):
-                with open(lp) as f:
-                    out.append(json.load(f))
+            lin = _read_json_or_none(os.path.join(self.root, d, "_lineage.json"))
+            if lin is not None:
+                out.append(lin)
         return out
 
     def latest(self) -> dict | None:
@@ -89,11 +119,11 @@ class CheckpointManager:
             if lin is None:
                 return None
         else:
-            lp = os.path.join(self._dir(iteration), "_lineage.json")
-            if not os.path.exists(lp):
+            lin = _read_json_or_none(
+                os.path.join(self._dir(iteration), "_lineage.json")
+            )
+            if lin is None:
                 return None
-            with open(lp) as f:
-                lin = json.load(f)
         df = self.spark.read.parquet(self._dir(lin["iteration"]))
         return df, lin
 
@@ -127,6 +157,13 @@ class PhaseCheckpoint:
     ) -> str:
         t0 = time.monotonic()
         d = self._dir(phase)
+        # invalidate later-phase dirs BEFORE writing: a reused root whose
+        # previous run reached phase N>phase would otherwise win load()'s
+        # highest-complete-phase pick and resume a foreign lineage
+        if os.path.isdir(self.root):
+            for other in os.listdir(self.root):
+                if other.startswith("phase=") and int(other.split("=")[1]) > phase:
+                    shutil.rmtree(os.path.join(self.root, other), ignore_errors=True)
         g.write.mode("overwrite").parquet(os.path.join(d, "edges"))
         mapping.write.mode("overwrite").parquet(os.path.join(d, "mapping"))
         best_mapping.write.mode("overwrite").parquet(
@@ -139,8 +176,7 @@ class PhaseCheckpoint:
             "wall_s": time.monotonic() - t0,
             "complete": True,
         }
-        with open(os.path.join(d, "_phase.json"), "w") as f:
-            json.dump(meta, f, indent=2)
+        _write_json_atomic(os.path.join(d, "_phase.json"), meta)
         return d
 
     def snapshots(self) -> list[dict]:
@@ -148,10 +184,9 @@ class PhaseCheckpoint:
         if not os.path.isdir(self.root):
             return out
         for d in sorted(os.listdir(self.root)):
-            mp = os.path.join(self.root, d, "_phase.json")
-            if os.path.exists(mp):
-                with open(mp) as f:
-                    out.append(json.load(f))
+            meta = _read_json_or_none(os.path.join(self.root, d, "_phase.json"))
+            if meta is not None:
+                out.append(meta)
         return out
 
     def load(

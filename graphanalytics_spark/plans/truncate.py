@@ -36,11 +36,19 @@ class LineageTruncator:
         self.hard_every = hard_every
         self._own_dir = base_dir is None
         # hard resets are transient per-run state (durable snapshots are
-        # CheckpointManager's job), so prefer tmpfs when the host has one —
-        # the parquet round-trip then costs memory bandwidth, not disk I/O
+        # CheckpointManager's job), so prefer tmpfs when the host has one
+        # WITH headroom (session.tmpfs_dir_if_roomy gate — same free-space
+        # check as the shuffle scratch; opt-out SPARK_GRAFT_TMPFS=0) —
+        # the parquet round-trip then costs memory bandwidth, not disk
+        # I/O. SPARK_GRAFT_TRUNC_DIR pins the scratch root explicitly
+        # (disk stays the fallback when tmpfs is absent/full/opted-out).
         import os
 
-        tmp_root = "/dev/shm" if os.path.isdir("/dev/shm") else None
+        from graphanalytics_spark.session import tmpfs_dir_if_roomy
+
+        tmp_root = os.environ.get("SPARK_GRAFT_TRUNC_DIR") or tmpfs_dir_if_roomy()
+        if tmp_root:
+            os.makedirs(tmp_root, exist_ok=True)
         self.base_dir = base_dir or tempfile.mkdtemp(
             prefix="ga_trunc_", dir=tmp_root
         )

@@ -22,6 +22,33 @@ from pyspark.sql import SparkSession
 
 DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
+# tmpfs is typically capped at 50% of RAM, and shuffle spill exists to
+# relieve memory pressure — routing spill into RAM-backed storage on a
+# box without headroom turns spill into OOM/ENOSPC. So tmpfs scratch is
+# used only when the mount currently has at least this much free space;
+# below it, scratch falls back to disk (the safe default).
+TMPFS_MIN_FREE_BYTES = int(
+    float(os.environ.get("SPARK_GRAFT_TMPFS_MIN_FREE_GB", "16")) * (1 << 30)
+)
+
+
+def tmpfs_dir_if_roomy(subdir: str | None = None) -> str | None:
+    """/dev/shm-backed scratch path, or None when tmpfs is absent, opted
+    out (SPARK_GRAFT_TMPFS=0), or too full (< SPARK_GRAFT_TMPFS_MIN_FREE_GB
+    free, default 16). Shared gate for the shuffle local dir and the
+    lineage-truncation scratch (plans/truncate.py)."""
+    if os.environ.get("SPARK_GRAFT_TMPFS", "").lower() in ("0", "false", "no"):
+        return None
+    if not os.path.isdir("/dev/shm"):
+        return None
+    try:
+        st = os.statvfs("/dev/shm")
+    except OSError:
+        return None
+    if st.f_bavail * st.f_frsize < TMPFS_MIN_FREE_BYTES:
+        return None
+    return os.path.join("/dev/shm", subdir) if subdir else "/dev/shm"
+
 
 def get_spark(
     app_name: str = "graphanalytics_spark",
@@ -52,12 +79,14 @@ def get_spark(
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
-    # shuffle/spill scratch: prefer tmpfs when the host has one (local-mode
-    # shuffle is filesystem-bound; on a cluster each executor sets its own
-    # local dirs and this default is irrelevant)
+    # shuffle/spill scratch: prefer tmpfs when the host has one WITH
+    # headroom (gated by tmpfs_dir_if_roomy — local-mode shuffle is
+    # filesystem-bound, but spilling into a near-full tmpfs would trade
+    # slow-for-broken); explicit SPARK_GRAFT_LOCAL_DIR always wins, and
+    # on a cluster each executor sets its own local dirs anyway
     local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
-    if local_dir is None and os.path.isdir("/dev/shm"):
-        local_dir = "/dev/shm/spark-local"
+    if local_dir is None:
+        local_dir = tmpfs_dir_if_roomy("spark-local")
     if local_dir:
         os.makedirs(local_dir, exist_ok=True)
         builder = builder.config("spark.local.dir", local_dir)

@@ -58,7 +58,26 @@ def incremental_link_ingest(
 
 def read_link_table(spark: SparkSession, delta_dir: str) -> DataFrame:
     """Delta-compaction view: the current weighted link table
-    (src_repo, dst_repo, weight) — sum over the batch=N delta partitions."""
+    (src_repo, dst_repo, weight) — sum over the batch=N delta partitions.
+
+    Refuses a delta_dir holding legacy flat part-files (the pre-batch_id
+    append layout): mixed layouts break partition discovery, and flat rows
+    carry no batch key so replay-dedup can never apply to them — rebuild
+    the delta dir (re-run ingestion from a fresh checkpoint) to upgrade."""
+    import os
+
+    if os.path.isdir(delta_dir):
+        flat = [
+            f
+            for f in os.listdir(delta_dir)
+            if f.startswith("part-") and not f.endswith(".crc")
+        ]
+        if flat:
+            raise ValueError(
+                f"{delta_dir} contains {len(flat)} legacy flat delta files "
+                "(pre-batch_id layout); rebuild the delta directory by "
+                "re-running ingestion with a fresh checkpoint before reading"
+            )
     return (
         spark.read.parquet(delta_dir)
         .select("src_repo", "dst_repo", "weight")  # drop the batch key

@@ -157,3 +157,49 @@ def test_embedding_near_dup_finds_planted_variants(spark):
     assert len(planted) >= 100  # LSH recall over 200 planted pairs
     for r in pairs:
         assert r.sim >= 0.85
+
+
+def test_hot_bucket_guard_bounds_pair_blowup(spark):
+    """Planted hot bucket: 300 near-identical vectors land in one LSH
+    sign-pattern bucket per band. Unguarded that is ~45k quadratic pairs;
+    with max_bucket_size the degenerate bucket is dropped entirely (its
+    members belong to exact dedup, not pairwise verify)."""
+    from graphanalytics_spark.functions import dedup
+
+    base = [1.0] * 16
+    rows = [(i, [x + 1e-9 * i for x in base]) for i in range(300)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    unguarded = dedup.embedding_near_dup(spark, emb, threshold=0.5, n_planes=4)
+    assert unguarded.count() == 300 * 299 // 2
+    guarded = dedup.embedding_near_dup(
+        spark, emb, threshold=0.5, n_planes=4, max_bucket_size=50
+    )
+    assert guarded.count() == 0
+
+
+def test_knn_join_hot_bucket_guard(spark):
+    from graphanalytics_spark.functions import similarity
+
+    base = [1.0] * 16
+    hot = [(i, [x + 1e-9 * i for x in base]) for i in range(200)]
+    # a handful of well-spread vectors that keep their own small buckets
+    cold = [(1000 + i, [float((i >> b) & 1) * 2 - 1 for b in range(16)]) for i in range(8)]
+    emb = spark.createDataFrame(hot + cold, "vec_id long, embedding array<double>")
+    guarded = similarity.knn_join_lsh(
+        spark, emb, emb, k=3, n_planes=4, exclude_self=True, max_bucket_size=50
+    )
+    rows = guarded.collect()
+    # no pair may originate from the hot bucket's quadratic interior
+    assert all(r.lid >= 1000 or r.rid >= 1000 for r in rows) or len(rows) == 0
+    # and the guarded plan's output stays far below the quadratic count
+    assert len(rows) < 200
+
+
+def test_embedding_near_dup_empty_input(spark):
+    from graphanalytics_spark.functions import dedup
+
+    emb = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert dedup.embedding_near_dup(spark, emb).collect() == []
+    from graphanalytics_spark.functions import similarity
+
+    assert similarity.knn_join_lsh(spark, emb, emb).collect() == []

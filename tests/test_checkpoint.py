@@ -103,3 +103,54 @@ def test_kill_and_resume_identical(spark, tmp_path):
     assert np.allclose(
         [fd[i] for i in sorted(fd)], [rd[i] for i in sorted(rd)], atol=1e-8
     )
+
+
+def test_phase_checkpoint_invalidates_later_phases(spark, tmp_path):
+    """Reused root: an earlier run reached phase 3; a new run saving phase 1
+    must delete the stale phase-2/3 dirs so load() never resumes a foreign
+    lineage (the r2 advisor finding)."""
+    from graphanalytics_spark.plans.checkpoint import PhaseCheckpoint
+
+    e = fixtures.edges_df(spark, [(0, 1), (1, 2)])
+    m = spark.createDataFrame([(0, 0)], "vid long, community long")
+    pc = PhaseCheckpoint(spark, str(tmp_path / "ph"))
+    for ph in (1, 2, 3):
+        pc.save(ph, e, m, m, q=0.1 * ph, best_q=0.1 * ph)
+    assert [s["phase"] for s in pc.snapshots()] == [1, 2, 3]
+    # new run, same root, crashes after phase 1
+    pc2 = PhaseCheckpoint(spark, str(tmp_path / "ph"))
+    pc2.save(1, e, m, m, q=0.05, best_q=0.05)
+    snaps = pc2.snapshots()
+    assert [s["phase"] for s in snaps] == [1]
+    _, _, _, meta = pc2.load()
+    assert meta["phase"] == 1 and abs(meta["q"] - 0.05) < 1e-12
+
+
+def test_phase_checkpoint_tolerates_truncated_sidecar(spark, tmp_path):
+    from graphanalytics_spark.plans.checkpoint import PhaseCheckpoint
+
+    e = fixtures.edges_df(spark, [(0, 1)])
+    m = spark.createDataFrame([(0, 0)], "vid long, community long")
+    pc = PhaseCheckpoint(spark, str(tmp_path / "ph2"))
+    pc.save(1, e, m, m, q=0.1, best_q=0.1)
+    pc.save(2, e, m, m, q=0.2, best_q=0.2)
+    # simulate a crash mid-write of phase 2's sidecar
+    import os
+
+    with open(os.path.join(str(tmp_path / "ph2"), "phase=002", "_phase.json"), "w") as f:
+        f.write('{"phase": 2, "q":')
+    snaps = pc.snapshots()  # must not raise
+    assert [s["phase"] for s in snaps] == [1]
+    _, _, _, meta = pc.load()
+    assert meta["phase"] == 1
+
+
+def test_iter_checkpoint_invalidates_later_iterations(spark, tmp_path):
+    sym = _graph(spark)
+    cm = CheckpointManager(spark, str(tmp_path / "re"), every=2)
+    pagerank.pagerank(spark, sym, tol=1e-9, max_iter=6, checkpointer=cm)
+    assert cm.latest()["iteration"] == 6
+    # new run on the same root progresses only to iteration 2
+    cm2 = CheckpointManager(spark, str(tmp_path / "re"), every=2)
+    pagerank.pagerank(spark, sym, tol=1e-9, max_iter=2, checkpointer=cm2)
+    assert cm2.latest()["iteration"] == 2
