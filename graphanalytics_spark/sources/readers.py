@@ -143,26 +143,58 @@ def read_metis(spark: SparkSession, path: str) -> DataFrame:
 
 
 def read_csr_binary(
-    spark: SparkSession, row_ptr_path: str, col_idx_path: str
+    spark: SparkSession,
+    row_ptr_path: str,
+    col_idx_path: str,
+    chunk_vertices: int = 1 << 20,
 ) -> DataFrame:
     """Raw little-endian int32 rowPtr.bin/colIdx.bin CSR pair — the MIS
     demo's input format (/root/reference/mis/examples/python/misdemo.py:24).
 
-    The format is a single unsplittable binary per array (the reference
-    caps it at 2^26 vertices per file, xilinxlouvainInternal.h:44), so the
-    frombuffer decode is a one-shot numpy step; the resulting COO enters
-    Spark through the Arrow createDataFrame path and every downstream op
-    is distributed."""
-    import numpy as np
-    import pandas as pd
+    Distributed decode (no whole-file driver read): the driver touches
+    only file *metadata* (sizes) to plan ``chunk_vertices``-sized vertex
+    ranges; each executor task then seeks into its rowPtr slice (with a
+    one-entry overlap for the closing offset) and reads exactly the
+    colIdx byte range [rp[lo]*4, rp[hi]*4) that slice addresses — the
+    rowPtr prefix IS the chunk index, so tasks never overlap and never
+    scan. Requires the files on a filesystem every executor can open
+    (local FS in local mode, NFS/object-store mount on a cluster) — the
+    same visibility contract the distributed CSR *writer* already uses
+    for its chunk staging (writers.py:write_csr_binary)."""
+    import os
 
-    rp = np.fromfile(row_ptr_path, dtype="<i4")
-    ci = np.fromfile(col_idx_path, dtype="<i4")
-    src = np.repeat(np.arange(len(rp) - 1, dtype=np.int64), np.diff(rp))
-    pdf = pd.DataFrame(
-        {"src": src, "dst": ci.astype(np.int64), "weight": np.ones(len(ci))}
-    )
-    return spark.createDataFrame(pdf)
+    n_v = os.path.getsize(row_ptr_path) // 4 - 1
+    if n_v <= 0:
+        return spark.createDataFrame([], "src long, dst long, weight double")
+    bounds = [
+        (lo, min(lo + chunk_vertices, n_v)) for lo in range(0, n_v, chunk_vertices)
+    ]
+    cdf = spark.createDataFrame(bounds, "lo long, hi long").repartition(len(bounds))
+
+    def decode(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            for lo, hi in zip(pdf["lo"], pdf["hi"]):
+                lo, hi = int(lo), int(hi)
+                with open(row_ptr_path, "rb") as f:
+                    f.seek(lo * 4)
+                    rp = np.frombuffer(
+                        f.read((hi - lo + 1) * 4), dtype="<i4"
+                    ).astype(np.int64)
+                e0, e1 = int(rp[0]), int(rp[-1])
+                with open(col_idx_path, "rb") as f:
+                    f.seek(e0 * 4)
+                    ci = np.frombuffer(f.read((e1 - e0) * 4), dtype="<i4").astype(
+                        np.int64
+                    )
+                src = np.repeat(np.arange(lo, hi, dtype=np.int64), np.diff(rp))
+                yield pd.DataFrame(
+                    {"src": src, "dst": ci, "weight": np.ones(len(ci))}
+                )
+
+    return cdf.mapInPandas(decode, "src long, dst long, weight double")
 
 
 def read_dimacs1(spark: SparkSession, path: str) -> DataFrame:
@@ -195,15 +227,43 @@ def read_power_grid_kv(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
-def read_edge_list_binary(spark: SparkSession, path: str) -> DataFrame:
+def read_edge_list_binary(
+    spark: SparkSession, path: str, chunk_edges: int = 1 << 22
+) -> DataFrame:
     """Fixed-width binary edge records (parse_EdgeListBinary analog):
-    little-endian int64 (src, dst) pairs. Unsplittable single-file format —
-    numpy decode, Arrow entry, distributed downstream."""
-    import numpy as np
-    import pandas as pd
+    little-endian int64 (src, dst) pairs, 16 bytes per record.
 
-    arr = np.fromfile(path, dtype="<i8").reshape(-1, 2)
-    pdf = pd.DataFrame(
-        {"src": arr[:, 0], "dst": arr[:, 1], "weight": np.ones(len(arr))}
-    )
-    return spark.createDataFrame(pdf)
+    Fixed-width records make the file trivially splittable at any record
+    boundary — the driver plans byte-range chunks from the file size
+    alone (metadata, no read) and each executor task seeks + decodes its
+    own slice. Same executor-visible-filesystem contract as
+    ``read_csr_binary``."""
+    import os
+
+    n_e = os.path.getsize(path) // 16
+    if n_e == 0:
+        return spark.createDataFrame([], "src long, dst long, weight double")
+    bounds = [(lo, min(lo + chunk_edges, n_e)) for lo in range(0, n_e, chunk_edges)]
+    cdf = spark.createDataFrame(bounds, "lo long, hi long").repartition(len(bounds))
+
+    def decode(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            for lo, hi in zip(pdf["lo"], pdf["hi"]):
+                lo, hi = int(lo), int(hi)
+                with open(path, "rb") as f:
+                    f.seek(lo * 16)
+                    arr = np.frombuffer(
+                        f.read((hi - lo) * 16), dtype="<i8"
+                    ).reshape(-1, 2)
+                yield pd.DataFrame(
+                    {
+                        "src": arr[:, 0],
+                        "dst": arr[:, 1],
+                        "weight": np.ones(len(arr)),
+                    }
+                )
+
+    return cdf.mapInPandas(decode, "src long, dst long, weight double")

@@ -56,16 +56,38 @@ def write_pajek(edges: DataFrame, path: str) -> None:
     header.coalesce(1).union(body).write.mode("overwrite").text(path)
 
 
-def write_metis(edges_canon: DataFrame, path: str) -> None:
-    """Metis adjacency re-export (writeGraphMetisSimpleFormat analog):
-    line i = neighbors of vertex i (1-based). Adjacency lists built with
-    collect_list per vertex; ordered output via repartitionByRange+sort —
-    valid for graphs whose vertex ids are dense 0..NV-1."""
+def write_metis(
+    edges_canon: DataFrame, path: str, chunk_partitions: int | None = None
+) -> None:
+    """Metis adjacency re-export (writeGraphMetisSimpleFormat analog,
+    /root/reference/grappolo defs.h:144-147): header 'NV NE', then line i =
+    space-joined 1-based neighbors of vertex i-1; ids must be dense
+    0..NV-1 (vertices with no edges get an empty line).
+
+    Distributed assembly, same shape as ``write_csr_binary``: the
+    adjacency lines are built JVM-side (collect_list + concat_ws), range-
+    partitioned + sorted on src, and each partition streams its lines into
+    a chunk file (gap vertices inside a range filled vectorized); the
+    driver concatenates the chunks in range order with bounded memory and
+    fills the between-range gaps from the per-chunk (lo, hi) acks. The
+    line-ordered text format forces an ordered concat *somewhere*; this
+    keeps it O(NV/chunks) per task + a streaming driver merge instead of
+    one total-sort task."""
+    import os
+    import shutil
+
+    import numpy as np
+    import pandas as pd
+
     from graphanalytics_spark.graph import symmetrize
 
+    spark = edges_canon.sparkSession
     sym = symmetrize(edges_canon)
-    n_v = sym.select("src").distinct().count()
     n_e = edges_canon.count()
+    mx = sym.agg(F.max("src").alias("m")).first()["m"]
+    n_v = int(mx) + 1 if mx is not None else 0
+    n_part = chunk_partitions or spark.sparkContext.defaultParallelism
+
     adj = (
         sym.groupBy("src")
         .agg(F.sort_array(F.collect_list(F.col("dst") + 1)).alias("nbrs"))
@@ -75,12 +97,56 @@ def write_metis(edges_canon: DataFrame, path: str) -> None:
                 "line"
             ),
         )
-        .repartitionByRange(1, "src")
+        .repartitionByRange(n_part, "src")
         .sortWithinPartitions("src")
-        .select(F.col("line").alias("value"))
     )
-    header = adj.sparkSession.createDataFrame([(f"{n_v} {n_e}",)], "value string")
-    header.coalesce(1).union(adj).write.mode("overwrite").text(path)
+
+    staging = path + ".staging"
+    shutil.rmtree(staging, ignore_errors=True)
+    os.makedirs(staging, exist_ok=True)
+
+    def dump(batches):
+        from pyspark import TaskContext
+
+        tc = TaskContext.get()
+        pid = tc.partitionId()
+        srcs, lines = [], []
+        for pdf in batches:
+            if len(pdf):
+                srcs.append(pdf["src"].to_numpy(dtype=np.int64))
+                lines.append(pdf["line"].to_numpy(dtype=object))
+        name, lo, hi = None, None, None
+        if srcs:
+            srcs = np.concatenate(srcs)
+            lines = np.concatenate(lines)
+            lo, hi = int(srcs[0]), int(srcs[-1])
+            full = np.full(hi - lo + 1, "", dtype=object)
+            full[srcs - lo] = lines
+            name = f"part-{pid:05d}-{tc.taskAttemptId()}.txt"
+            with open(os.path.join(staging, name), "w") as f:
+                f.write("\n".join(full) + "\n")
+        yield pd.DataFrame({"pid": [pid], "lo": [lo], "hi": [hi], "name": [name]})
+
+    acks = sorted(
+        (r["pid"], r["lo"], r["hi"], r["name"])
+        for r in adj.mapInPandas(dump, "pid int, lo long, hi long, name string").collect()
+    )
+    os.makedirs(path, exist_ok=True)
+    out_path = os.path.join(path, "part-00000")
+    prev_hi = -1
+    with open(out_path, "w") as out:
+        out.write(f"{n_v} {n_e}\n")
+        for _, lo, hi, name in acks:
+            if name is None:
+                continue
+            if lo > prev_hi + 1:
+                out.write("\n" * (lo - prev_hi - 1))
+            with open(os.path.join(staging, name)) as f:
+                shutil.copyfileobj(f, out)
+            prev_hi = hi
+        if n_v > prev_hi + 1:
+            out.write("\n" * (n_v - prev_hi - 1))
+    shutil.rmtree(staging)
 
 
 def write_csr_binary(

@@ -99,3 +99,51 @@ def test_write_vertex_state_parquet(spark, tmp_path):
     out = str(tmp_path / "state")
     writers.write_vertex_state(st, out)
     assert spark.read.parquet(out).count() == 2
+
+
+def test_read_csr_binary_chunked(spark, tmp_path):
+    """Distributed decode path: tiny chunk size forces multiple range
+    tasks; union of chunk outputs must equal the whole-file decode."""
+    rng = np.random.default_rng(7)
+    deg = rng.integers(0, 4, size=9)
+    rp = np.concatenate([[0], np.cumsum(deg)]).astype("<i4")
+    ci = rng.integers(0, 9, size=int(rp[-1])).astype("<i4")
+    (tmp_path / "rp.bin").write_bytes(rp.tobytes())
+    (tmp_path / "ci.bin").write_bytes(ci.tobytes())
+    got = readers.read_csr_binary(
+        spark, str(tmp_path / "rp.bin"), str(tmp_path / "ci.bin"), chunk_vertices=2
+    )
+    expect = sorted(
+        (int(s), int(d))
+        for s in range(9)
+        for d in ci[rp[s] : rp[s + 1]].tolist()
+        for d in [d]
+    )
+    assert sorted((r.src, r.dst) for r in got.collect()) == expect
+
+
+def test_read_edge_list_binary_chunked(spark, tmp_path):
+    arr = np.array([[0, 1], [1, 2], [2, 3], [3, 4], [4, 0]], dtype="<i8")
+    (tmp_path / "e.bin").write_bytes(arr.tobytes())
+    got = readers.read_edge_list_binary(spark, str(tmp_path / "e.bin"), chunk_edges=2)
+    assert sorted((r.src, r.dst) for r in got.collect()) == [
+        (0, 1), (1, 2), (2, 3), (3, 4), (4, 0),
+    ]
+
+
+def test_write_metis_multichunk_with_gap_vertex(spark, tmp_path):
+    """>1 write task + a gap vertex (id 2 has no edges): the chunked
+    writer must keep line alignment by emitting empty lines for gaps."""
+    edges = spark.createDataFrame(
+        [(0, 1, 1.0), (3, 4, 1.0), (4, 5, 1.0), (0, 5, 1.0)],
+        "src long, dst long, weight double",
+    )
+    out = str(tmp_path / "gap_metis")
+    writers.write_metis(edges, out, chunk_partitions=3)
+    txt = (tmp_path / "gap_metis" / "part-00000").read_text().splitlines()
+    assert txt[0] == "6 4"
+    assert len(txt) == 7 and txt[3] == ""  # vertex 2's empty line
+    back = readers.read_metis(spark, out)
+    assert sorted((r.src, r.dst) for r in graph.canonicalize(back).collect()) == [
+        (0, 1), (0, 5), (3, 4), (4, 5),
+    ]
