@@ -670,6 +670,39 @@ SELECT e.src, e.dst, e.weight FROM e
 JOIN reach a ON a.vid = e.src JOIN reach b ON b.vid = e.dst"""
 
 
+def _nhop_pairs(spark, sf_dir):
+    """Pair-list n-hop matching — the reference nHop kernel's true query
+    shape (batched (src,dst) pairs hash-probed through adjacency,
+    /root/reference/L2/nHop/kernel/nHop_kernel.cpp:78): the 5 smallest
+    vids probed against the 40 smallest, 2-hop budget
+    (operators/nhop.py:n_hop_pairs)."""
+    e = _graph_sparse(spark, sf_dir)
+    v = graph.vertices(e)
+    srcs = v.orderBy("vid").limit(5).select(F.col("vid").alias("src"))
+    dsts = v.orderBy("vid").limit(40).select(F.col("vid").alias("dst"))
+    return nhop.n_hop_pairs(spark, e, srcs.crossJoin(dsts), hops=2)
+
+
+_NHOP_PAIRS_SQL = f"""WITH {_ES}, {_SYM},
+verts AS (SELECT DISTINCT src AS vid FROM sym),
+srcs AS (SELECT vid FROM verts ORDER BY vid LIMIT 5),
+dsts AS (SELECT vid FROM verts ORDER BY vid LIMIT 40),
+pairs AS (SELECT s.vid AS src, d.vid AS dst FROM srcs s CROSS JOIN dsts d),
+h0 AS (SELECT vid AS seed, vid, 0 AS hop FROM srcs),
+c1 AS (SELECT DISTINCT h0.seed, sym.dst AS vid FROM h0 JOIN sym ON sym.src = h0.vid),
+h1 AS (SELECT c1.seed, c1.vid, 1 AS hop FROM c1
+       LEFT JOIN h0 ON h0.seed = c1.seed AND h0.vid = c1.vid WHERE h0.seed IS NULL),
+c2 AS (SELECT DISTINCT h1.seed, sym.dst AS vid FROM h1 JOIN sym ON sym.src = h1.vid),
+h2 AS (SELECT c2.seed, c2.vid, 2 AS hop FROM c2
+       LEFT JOIN h0 ON h0.seed = c2.seed AND h0.vid = c2.vid
+       LEFT JOIN h1 ON h1.seed = c2.seed AND h1.vid = c2.vid
+       WHERE h0.seed IS NULL AND h1.seed IS NULL),
+reach AS (SELECT * FROM h0 UNION ALL SELECT * FROM h1 UNION ALL SELECT * FROM h2)
+SELECT p.src, p.dst, r.hop IS NOT NULL AS reachable,
+  CAST(coalesce(r.hop, -1) AS INT) AS min_hops
+FROM pairs p LEFT JOIN reach r ON r.seed = p.src AND r.vid = p.dst"""
+
+
 # --- documents / embeddings ---
 
 def _doc_exact_dedup(spark, sf_dir):
@@ -1100,6 +1133,69 @@ _LOUVAIN_Q_SQL = _MODULARITY_CC_SQL.replace(
     "AS q FROM", "AS cc_q, TRUE AS louvain_ge_cc FROM"
 )
 
+_ISLANDS_K, _ISLANDS_S = 8, 6
+
+
+def _louvain_islands_q(spark, sf_dir):
+    """Planted-islands Louvain gate — the reference's own test shape
+    (/root/reference/louvainmod/tests/islands.h:19-52): K=8 cliques of
+    S=6 vertices joined in a ring by single bridge edges, so the planted
+    partition (vid // S) is neither the components (one) nor trivial.
+    Returns 1 row (planted_q, louvain_recovers): planted_q is the planted
+    partition's modularity via the Spark modularity kernel (checked
+    value-for-value against the DuckDB formula), louvain_recovers asserts
+    the recovered Q reaches the planted Q within 1e-9 — a much tighter
+    gate than the CC floor of louvain_q, since merging any two islands or
+    splitting one strictly lowers Q on this graph."""
+    from graphanalytics_spark.operators import louvain as louvain_mod
+    from graphanalytics_spark.operators.modularity import modularity
+
+    K, S = _ISLANDS_K, _ISLANDS_S
+    rows = [
+        (i * S + a, i * S + b, 1.0)
+        for i in range(K)
+        for a in range(S)
+        for b in range(S)
+        if a < b
+    ] + [(i * S, ((i + 1) % K) * S, 1.0) for i in range(K)]
+    e = graph.canonicalize(
+        spark.createDataFrame(rows, "src long, dst long, weight double")
+    ).persist()
+    planted = spark.createDataFrame(
+        [(v, v // S) for v in range(K * S)], "vid long, label long"
+    )
+    q_planted = modularity(spark, e, planted)
+    comm = louvain_mod.louvain(spark, e, max_phases=4, max_rounds_per_phase=12)
+    q_louvain = modularity(
+        spark, e, comm.select("vid", F.col("community").alias("label"))
+    )
+    e.unpersist()
+    return spark.createDataFrame(
+        [(round(q_planted, 9), bool(q_louvain >= q_planted - 1e-9))],
+        "planted_q double, louvain_recovers boolean",
+    )
+
+
+def _louvain_islands_sql() -> str:
+    K, S = _ISLANDS_K, _ISLANDS_S
+    return f"""WITH cl AS (
+  SELECT i.range * {S} + a.range AS src, i.range * {S} + b.range AS dst, 1.0 AS weight
+  FROM range({K}) i, range({S}) a, range({S}) b WHERE a.range < b.range),
+br AS (SELECT i.range * {S} AS src, ((i.range + 1) % {K}) * {S} AS dst, 1.0 AS weight
+       FROM range({K}) i),
+e AS (SELECT * FROM cl UNION ALL SELECT * FROM br),
+sym AS (SELECT src, dst, weight FROM e UNION ALL SELECT dst, src, weight FROM e),
+lab AS (SELECT DISTINCT src AS vid, CAST(src // {S} AS BIGINT) AS label FROM sym),
+joined AS (
+  SELECT s.weight, a.label AS ca, b.label AS cb
+  FROM sym s JOIN lab a ON a.vid = s.src JOIN lab b ON b.vid = s.dst),
+m AS (SELECT sum(weight) AS two_m FROM sym),
+inw AS (SELECT sum(weight) AS iw FROM joined WHERE ca = cb),
+tot AS (SELECT sum(t * t) AS tt FROM (SELECT sum(weight) AS t FROM joined GROUP BY ca))
+SELECT round(iw / two_m - tt / (two_m * two_m), 9) AS planted_q,
+  TRUE AS louvain_recovers
+FROM inw, tot, m"""
+
 
 def _ann_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
@@ -1244,6 +1340,10 @@ FROM w JOIN dim ds ON ds.repo = w.src_repo JOIN dim dd ON dd.repo = w.dst_repo""
 _MTX_FIXTURE = "/root/repo/.fixtures/graph.mtx"
 _SNAP_FIXTURE = "/root/repo/.fixtures/graph.snap"
 _DIMACS9_FIXTURE = "/root/repo/.fixtures/graph.gr"
+_METIS_FIXTURE = "/root/repo/.fixtures/graph.metis"
+_DIMACS1_FIXTURE = "/root/repo/.fixtures/graph.col"
+_POWERGRID_FIXTURE = "/root/repo/.fixtures/graph.pg"
+_DOUBLED_FIXTURE = "/root/repo/.fixtures/graph.del"
 
 
 def _ensure_format_fixtures() -> None:
@@ -1278,6 +1378,21 @@ def _ensure_format_fixtures() -> None:
                 for a, b, w in [(1, 2, 3.5), (2, 3, 1.0), (3, 1, 2.0), (4, 2, 8.0)]
             )
         )
+    # Metis adjacency: header, one line per vertex (1-based neighbors),
+    # including an EMPTY line (isolated vertex 4) — line alignment is the
+    # format's one trap (grappolo defs.h:144-147 adjacency contract)
+    with open(_METIS_FIXTURE, "w") as f:
+        f.write("6 5\n2 3\n1 3\n1 2 5\n\n3 6\n5\n")
+    # DIMACS-1/clique: 'p edge' header, 'e u v' lines, 'c' comments
+    with open(_DIMACS1_FIXTURE, "w") as f:
+        f.write("c clique fixture\np edge 4 3\ne 1 2\ne 2 3\ne 1 4\n")
+    # 4-column power-grid KV with a negative weight (fabs on ingest) and a
+    # per-row voltage attribute
+    with open(_POWERGRID_FIXTURE, "w") as f:
+        f.write("# src dst weight voltage\n0 1 2.5 110.0\n1 2 -1.0 110.0\n2 3 4.0 220.0\n")
+    # doubled edge list: every undirected edge listed in both directions
+    with open(_DOUBLED_FIXTURE, "w") as f:
+        f.write("0 1 1.5\n1 0 1.5\n1 2 2.0\n2 1 2.0\n0 2 1.0\n2 0 1.0\n")
 
 
 _LINES_SQL = """lines AS (
@@ -1339,6 +1454,87 @@ SELECT CAST(split_part(ln, ' ', 2) AS BIGINT) - 1 AS src,
 FROM body"""
 
 
+def _read_metis_fixture(spark, sf_dir):
+    """Metis/DIMACS#10 adjacency reader over a fixture with an isolated
+    vertex (empty line — the line-alignment trap)
+    (sources/readers.py:read_metis)."""
+    from graphanalytics_spark.sources import readers
+
+    _ensure_format_fixtures()
+    return readers.read_metis(spark, _METIS_FIXTURE)
+
+
+def _metis_fixture_sql() -> str:
+    _ensure_format_fixtures()
+    # line i (1-based; i=1 is the header) → vertex i-2; empty lines keep
+    # their slot so numbering stays aligned
+    return f"""WITH {_LINES_SQL.format(path=_METIS_FIXTURE)},
+body AS (SELECT i, trim(ln) AS ln FROM lines WHERE i > 1 AND NOT starts_with(ln, '%')),
+toks AS (SELECT i, unnest(string_split(ln, ' ')) AS tok FROM body WHERE ln != '')
+SELECT CAST(i - 2 AS BIGINT) AS src, CAST(tok AS BIGINT) - 1 AS dst, 1.0 AS weight
+FROM toks WHERE tok != ''"""
+
+
+def _read_dimacs1_fixture(spark, sf_dir):
+    """DIMACS-1 clique-format reader (sources/readers.py:read_dimacs1)."""
+    from graphanalytics_spark.sources import readers
+
+    _ensure_format_fixtures()
+    return readers.read_dimacs1(spark, _DIMACS1_FIXTURE)
+
+
+def _dimacs1_fixture_sql() -> str:
+    _ensure_format_fixtures()
+    return f"""WITH {_LINES_SQL.format(path=_DIMACS1_FIXTURE)},
+body AS (SELECT trim(ln) AS ln FROM lines WHERE starts_with(ln, 'e '))
+SELECT CAST(split_part(ln, ' ', 2) AS BIGINT) - 1 AS src,
+       CAST(split_part(ln, ' ', 3) AS BIGINT) - 1 AS dst,
+       1.0 AS weight
+FROM body"""
+
+
+def _read_powergrid_fixture(spark, sf_dir):
+    """4-column power-grid KV reader — edges + voltage node attribute,
+    fabs() on the weight like the reference's ingest
+    (sources/readers.py:read_power_grid_kv)."""
+    from graphanalytics_spark.sources import readers
+
+    _ensure_format_fixtures()
+    return readers.read_power_grid_kv(spark, _POWERGRID_FIXTURE)
+
+
+def _powergrid_fixture_sql() -> str:
+    _ensure_format_fixtures()
+    return f"""WITH {_LINES_SQL.format(path=_POWERGRID_FIXTURE)},
+body AS (SELECT trim(ln) AS ln FROM lines
+         WHERE NOT starts_with(ln, '#') AND trim(ln) != '')
+SELECT CAST(split_part(ln, ' ', 1) AS BIGINT) AS src,
+       CAST(split_part(ln, ' ', 2) AS BIGINT) AS dst,
+       abs(CAST(split_part(ln, ' ', 3) AS DOUBLE)) AS weight,
+       CAST(split_part(ln, ' ', 4) AS DOUBLE) AS voltage
+FROM body"""
+
+
+def _read_doubled_fixture(spark, sf_dir):
+    """Doubled edge list reader (parse_DoulbedEdgeList analog — both
+    directions present in the file, preserved as-is)
+    (sources/readers.py:read_edge_list)."""
+    from graphanalytics_spark.sources import readers
+
+    _ensure_format_fixtures()
+    return readers.read_edge_list(spark, _DOUBLED_FIXTURE)
+
+
+def _doubled_fixture_sql() -> str:
+    _ensure_format_fixtures()
+    return f"""WITH {_LINES_SQL.format(path=_DOUBLED_FIXTURE)},
+body AS (SELECT trim(ln) AS ln FROM lines WHERE trim(ln) != '')
+SELECT CAST(split_part(ln, ' ', 1) AS BIGINT) AS src,
+       CAST(split_part(ln, ' ', 2) AS BIGINT) AS dst,
+       abs(CAST(split_part(ln, ' ', 3) AS DOUBLE)) AS weight
+FROM body"""
+
+
 # --- writer round-trip gates (sink → reader → oracle) ---
 
 def _writer_dir(sf_dir: str, name: str) -> str:
@@ -1383,6 +1579,38 @@ def _csr_roundtrip(spark, sf_dir):
 
 _CSR_ROUNDTRIP_SQL = f"""WITH {_ES}, {_SYM}
 SELECT src, dst, 1.0 AS weight FROM sym"""
+
+
+def _metis_roundtrip(spark, sf_dir):
+    """Distributed Metis sink gate: sparse graph → write_metis (range-
+    partitioned chunk files + ordered concat, >1 write task) → read_metis
+    must reproduce the symmetrized pair set (Metis adjacency lists both
+    directions; weights are not part of the format, fixed 1.0)
+    (sources/writers.py:write_metis)."""
+    from graphanalytics_spark.sources import readers, writers
+
+    e = _graph_sparse(spark, sf_dir)
+    path = _writer_dir(sf_dir, "metis")
+    writers.write_metis(e, path)
+    return readers.read_metis(spark, path)
+
+
+_METIS_ROUNDTRIP_SQL = _CSR_ROUNDTRIP_SQL
+
+
+def _edge_list_roundtrip(spark, sf_dir):
+    """Edge-list sink gate: sparse graph → write_edge_list → read_edge_list
+    must reproduce the edge table exactly (writeEdgeListToFile analog,
+    sources/writers.py:write_edge_list)."""
+    from graphanalytics_spark.sources import readers, writers
+
+    e = _graph_sparse(spark, sf_dir)
+    path = _writer_dir(sf_dir, "edgelist")
+    writers.write_edge_list(e, path)
+    return readers.read_edge_list(spark, path)
+
+
+_EDGE_LIST_ROUNDTRIP_SQL = f"WITH {_ES} SELECT src, dst, weight FROM e"
 
 
 # --- IVF ANN + embedding-cosine near-dup ---
@@ -1541,17 +1769,35 @@ def _pagerank_converged(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ORDERING CONTRACT: the driver records correctness rows for the FIRST
+    # 50 dict entries per round. Entries with the least accumulated driver
+    # evidence lead (the r2-oracled-but-never-checked scale-path queries +
+    # this round's new operators); rows already green in CORRECTNESS_r02
+    # with redundant shapes (TPC-H joins/aggs, event windows) sit in the
+    # tail — their r2 artifact rows remain the evidence of record.
     return {
-        "q1_pricing_summary": _q1,
-        "q3_top_orders": _q3,
-        "top_parts_by_brand": _top_parts_by_brand,
-        "customer_rollup": _customer_rollup,
-        "customers_without_orders": _customers_without_orders,
-        "repeat_customers": _repeat_customers,
-        "events_hourly": _events_hourly,
-        "events_by_segment": _events_by_segment,
-        "events_topk_hourly": _events_topk_hourly,
-        "event_sessions": _event_sessions,
+        # -- oracled in r2 but never driver-checked (VERDICT r2 #1) --
+        "ann_lsh_topk": _ann_topk,
+        "ann_probe_topk": _ann_probe_topk,
+        "knn_join_lsh": _knn_join,
+        "ivf_topk": _ivf_topk,
+        "embedding_near_dup": _embedding_near_dup,
+        "corpus_clean": _corpus_clean,
+        "ingest_edges": _ingest_edges,
+        "repo_pagerank": _repo_pagerank,
+        # -- new this round --
+        "nhop_pairs": _nhop_pairs,
+        "louvain_islands_q": _louvain_islands_q,
+        "read_metis_fixture": _read_metis_fixture,
+        "read_dimacs1_fixture": _read_dimacs1_fixture,
+        "read_powergrid_fixture": _read_powergrid_fixture,
+        "read_doubled_fixture": _read_doubled_fixture,
+        "metis_roundtrip": _metis_roundtrip,
+        "edge_list_roundtrip": _edge_list_roundtrip,
+        # csr_roundtrip kept in-window: it now exercises the NEW
+        # distributed chunked binary reader
+        "csr_roundtrip": _csr_roundtrip,
+        # -- representative green coverage of every operator family --
         "copurchase_edges": _copurchase_edges,
         "vertex_degrees": _vertex_degrees,
         "degree_stats": _degree_stats,
@@ -1567,6 +1813,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "modularity_cc": _modularity_cc,
         "nhop_2": _nhop_2,
         "khop_subgraph": _khop_subgraph,
+        "lpa_2iter": _lpa_2iter,
+        "mis_verified": _mis_verified,
+        "louvain_q": _louvain_q,
         "doc_exact_dedup": _doc_exact_dedup,
         "doc_token_stats": _doc_token_stats,
         "doc_quality": _doc_quality,
@@ -1575,7 +1824,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_simhash": _doc_simhash,
         "ngram_jaccard_pairs": _ngram_jaccard,
         "minhash_lsh_pairs": _minhash_pairs,
-        "simhash_near_pairs": _simhash_near,
         "near_dup_verified": _near_dup_verified,
         "fuzzy_match": _fuzzy_match,
         "cosine_topk": _cosine_topk,
@@ -1583,24 +1831,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_docfreq": _token_docfreq,
         "embedding_norms": _embedding_norms,
         "multimodal_payload_stats": _multimodal_payload_stats,
+        # ---- 50-row window boundary ----
+        # green in CORRECTNESS_r02 (artifact of record); shapes redundant
+        # with in-window rows
+        "simhash_near_pairs": _simhash_near,
         "frame_sample_plan": _frame_sample_plan,
         "read_mtx_fixture": _read_mtx_fixture,
         "read_snap_fixture": _read_snap_fixture,
         "read_dimacs9_fixture": _read_dimacs9_fixture,
         "pajek_roundtrip": _pajek_roundtrip,
-        "csr_roundtrip": _csr_roundtrip,
-        # iterative / index operators with derived oracles
-        "lpa_2iter": _lpa_2iter,
-        "mis_verified": _mis_verified,
-        "louvain_q": _louvain_q,
-        "ann_lsh_topk": _ann_topk,
-        "ann_probe_topk": _ann_probe_topk,
-        "knn_join_lsh": _knn_join,
-        "ivf_topk": _ivf_topk,
-        "embedding_near_dup": _embedding_near_dup,
-        "corpus_clean": _corpus_clean,
-        "ingest_edges": _ingest_edges,
-        "repo_pagerank": _repo_pagerank,
+        "q1_pricing_summary": _q1,
+        "q3_top_orders": _q3,
+        "top_parts_by_brand": _top_parts_by_brand,
+        "customer_rollup": _customer_rollup,
+        "customers_without_orders": _customers_without_orders,
+        "repeat_customers": _repeat_customers,
+        "events_hourly": _events_hourly,
+        "events_by_segment": _events_by_segment,
+        "events_topk_hourly": _events_topk_hourly,
+        "event_sessions": _event_sessions,
         # rows-only (convergence-dependent; gated by pagerank_5iter's
         # oracle + pytest 1e-6 numpy oracle)
         "pagerank_converged": _pagerank_converged,
@@ -1667,4 +1916,12 @@ def oracle_sql() -> dict[str, str]:
         "corpus_clean": _corpus_clean_sql(),
         "ingest_edges": _ingest_sql(),
         "repo_pagerank": _repo_pagerank_sql(),
+        "nhop_pairs": _NHOP_PAIRS_SQL,
+        "louvain_islands_q": _louvain_islands_sql(),
+        "read_metis_fixture": _metis_fixture_sql(),
+        "read_dimacs1_fixture": _dimacs1_fixture_sql(),
+        "read_powergrid_fixture": _powergrid_fixture_sql(),
+        "read_doubled_fixture": _doubled_fixture_sql(),
+        "metis_roundtrip": _METIS_ROUNDTRIP_SQL,
+        "edge_list_roundtrip": _EDGE_LIST_ROUNDTRIP_SQL,
     }

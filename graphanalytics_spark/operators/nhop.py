@@ -69,6 +69,44 @@ def n_hop(
     return out
 
 
+def n_hop_pairs(
+    spark: SparkSession,
+    edges_canon: DataFrame,
+    pairs: DataFrame,
+    hops: int,
+    directed: bool = False,
+) -> DataFrame:
+    """Pair-list n-hop matching — the reference nHop kernel's actual query
+    shape: a batch of explicit (src, dst) pairs, each answered with
+    "is dst within ``hops`` of src, and how close?"
+    (/root/reference/L2/nHop/kernel/nHop_kernel.cpp:78 — hash-probe
+    adjacency expansion per pair; the link-prediction / fraud-ring probe).
+
+    Plan: expand frontiers once per DISTINCT src (the pair list usually
+    repeats sources — a fraud query asks one account against many
+    counterparties), then one equi-join of the pair table against the
+    (seed, vid, hop) reach relation. Pairs never traverse individually.
+
+    pairs: DataFrame whose first two columns are (src, dst) vertex ids.
+    Returns (src, dst, reachable: boolean, min_hops: int — -1 when
+    unreachable within ``hops``)."""
+    p = pairs.select(
+        F.col(pairs.columns[0]).cast("long").alias("src"),
+        F.col(pairs.columns[1]).cast("long").alias("dst"),
+    ).distinct()
+    seeds = p.select(F.col("src").alias("seed")).distinct()
+    reach = n_hop(spark, edges_canon, seeds, hops, directed=directed)
+    hit = reach.select(
+        F.col("seed").alias("src"), F.col("vid").alias("dst"), "hop"
+    )
+    return p.join(hit, ["src", "dst"], "left").select(
+        "src",
+        "dst",
+        F.col("hop").isNotNull().alias("reachable"),
+        F.coalesce(F.col("hop"), F.lit(-1)).cast("int").alias("min_hops"),
+    )
+
+
 def khop_subgraph(
     spark: SparkSession,
     edges_canon: DataFrame,

@@ -98,6 +98,7 @@ def pagerank(
     metrics: IterationMetrics | None = None,
     initial_state: DataFrame | None = None,
     checkpointer=None,
+    check_every: int = 2,
 ) -> DataFrame:
     """Converged PageRank over a directed weighted edge table.
 
@@ -106,10 +107,22 @@ def pagerank(
     state table of the last snapshot and iteration continues from there —
     the SaveGLVBin/LoadGLVBin analog
     (/root/reference/louvainmod/src/ParLV.cpp:398-434).
-    """
+
+    Action economics (the per-iteration floor at small scale is Spark's
+    job-scheduling round, not the join+agg work): the dangling-mass scalar
+    is folded into the plan as a broadcast 1-row aggregate instead of a
+    per-iteration driver action (and skipped entirely when the graph has
+    no dangling vertices — every symmetrized graph), so the only
+    per-iteration driver actions left are the convergence check, run every
+    ``check_every`` iterations (semantics-preserving: a converged state
+    stays converged under extra sweeps, and fixed-iteration runs with
+    tol=0 never check), and the hard lineage reset every
+    ``checkpoint_every``. Unchecked iterations chain lazy localCheckpoints
+    that the next action materializes in one fused job."""
     links = _prepare_links(edges, partitions)
     n_links = links.count()  # materializes the persisted static side
     truncator = LineageTruncator(spark, hard_every=checkpoint_every or 4)
+    check_every = max(1, check_every)
 
     verts = _vertices(edges)
     # dangling flag is static per vertex: no out-edges
@@ -117,18 +130,20 @@ def pagerank(
     verts = verts.join(outs, verts.vid == outs.src, "left").select(
         "vid", F.col("src").isNull().alias("dangling")
     )
-    n = verts.count()
+    cnt = verts.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("dangling").cast("int")).alias("nd"),
+    ).first()
+    n, has_dangling = int(cnt["n"]), bool(cnt["nd"])
 
     if initial_state is not None:
         state = initial_state.join(verts, "vid").select("vid", "rank", "dangling")
     else:
         state = verts.select("vid", F.lit(1.0 / n).alias("rank"), "dangling")
-    state = state.persist()
-    dangling_mass = (
-        state.filter("dangling").agg(F.sum("rank")).first()[0] or 0.0
-    )
+    init_state = state = state.persist()
 
     base = (1.0 - damping) / n
+    delta = float("inf")
     for it in range(1, max_iter + 1):
         t0 = time.monotonic()
         contribs = (
@@ -137,10 +152,20 @@ def pagerank(
             .groupBy("vid")
             .agg(F.sum("c").alias("gathered"))
         )
+        joined = state.join(contribs, "vid", "left")
+        if has_dangling:
+            # dangling mass as an in-plan broadcast scalar: no driver action
+            dm = state.filter("dangling").agg(
+                (F.coalesce(F.sum("rank"), F.lit(0.0)) / n).alias("_dm")
+            )
+            joined = joined.crossJoin(F.broadcast(dm))
+            dm_term = F.col("_dm")
+        else:
+            dm_term = F.lit(0.0)
         new_rank_expr = F.lit(base) + F.lit(damping) * (
-            F.coalesce(F.col("gathered"), F.lit(0.0)) + F.lit(dangling_mass / n)
+            F.coalesce(F.col("gathered"), F.lit(0.0)) + dm_term
         )
-        new_state = state.join(contribs, "vid", "left").select(
+        new_state = joined.select(
             "vid",
             new_rank_expr.alias("rank"),
             "dangling",
@@ -148,12 +173,8 @@ def pagerank(
         )
         # per-iteration lineage truncation (see plans/truncate.py)
         new_state = truncator.truncate(new_state, it, stream="state")
-        agg = new_state.agg(
-            F.max("delta").alias("d"),
-            F.sum(F.when(F.col("dangling"), F.col("rank")).otherwise(0.0)).alias("dm"),
-        ).first()
-        delta, dangling_mass = float(agg["d"]), float(agg["dm"] or 0.0)
-        state.unpersist()
+        if tol > 0 and (it % check_every == 0 or it == max_iter):
+            delta = float(new_state.agg(F.max("delta")).first()[0])
         state = new_state.drop("delta")
         if metrics is not None:
             metrics.add(it, delta, n_links, time.monotonic() - t0)
@@ -161,6 +182,7 @@ def pagerank(
             checkpointer.maybe_save(it, state.select("vid", "rank"), delta)
         if delta < tol:
             break
+    init_state.unpersist()
     links.unpersist()
     return state.select("vid", "rank")
 
@@ -174,6 +196,7 @@ def pagerank_csr(
     n_blocks: int = 32,
     checkpoint_every: int = 5,
     metrics: IterationMetrics | None = None,
+    check_every: int = 2,
 ) -> DataFrame:
     """PageRank with the gather expressed as per-partition CSR blocks inside
     a cogrouped Arrow UDF (``applyInPandas`` over cogroup).
@@ -207,20 +230,24 @@ def pagerank_csr(
     )
     n_links = links.count()
     truncator = LineageTruncator(spark, hard_every=checkpoint_every or 4)
+    check_every = max(1, check_every)
 
     verts = _vertices(edges)
     outs = edges.select("src").distinct()
     verts = verts.join(outs, verts.vid == outs.src, "left").select(
         "vid", F.col("src").isNull().alias("dangling")
     )
-    n = verts.count()
-    state = verts.select(
+    cnt = verts.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("dangling").cast("int")).alias("nd"),
+    ).first()
+    n, has_dangling = int(cnt["n"]), bool(cnt["nd"])
+    init_state = state = verts.select(
         "vid",
         F.lit(1.0 / n).alias("rank"),
         "dangling",
         F.pmod(F.xxhash64("vid"), F.lit(n_blocks)).alias("block"),
     ).persist()
-    dangling_mass = state.filter("dangling").agg(F.sum("rank")).first()[0] or 0.0
 
     def scatter(edges_pdf, state_pdf):
         import pandas as pd
@@ -248,6 +275,7 @@ def pagerank_csr(
         return pd.DataFrame({"vid": uniq, "c": acc})
 
     base = (1.0 - damping) / n
+    delta = float("inf")
     for it in range(1, max_iter + 1):
         t0 = time.monotonic()
         contribs = (
@@ -257,10 +285,19 @@ def pagerank_csr(
             .groupBy("vid")
             .agg(F.sum("c").alias("gathered"))
         )
+        joined = state.join(contribs, "vid", "left")
+        if has_dangling:
+            dm = state.filter("dangling").agg(
+                (F.coalesce(F.sum("rank"), F.lit(0.0)) / n).alias("_dm")
+            )
+            joined = joined.crossJoin(F.broadcast(dm))
+            dm_term = F.col("_dm")
+        else:
+            dm_term = F.lit(0.0)
         new_rank_expr = F.lit(base) + F.lit(damping) * (
-            F.coalesce(F.col("gathered"), F.lit(0.0)) + F.lit(dangling_mass / n)
+            F.coalesce(F.col("gathered"), F.lit(0.0)) + dm_term
         )
-        new_state = state.join(contribs, "vid", "left").select(
+        new_state = joined.select(
             "vid",
             new_rank_expr.alias("rank"),
             "dangling",
@@ -269,17 +306,14 @@ def pagerank_csr(
         )
         # per-iteration lineage truncation (see plans/truncate.py)
         new_state = truncator.truncate(new_state, it, stream="state")
-        agg = new_state.agg(
-            F.max("delta").alias("d"),
-            F.sum(F.when(F.col("dangling"), F.col("rank")).otherwise(0.0)).alias("dm"),
-        ).first()
-        delta, dangling_mass = float(agg["d"]), float(agg["dm"] or 0.0)
-        state.unpersist()
+        if tol > 0 and (it % check_every == 0 or it == max_iter):
+            delta = float(new_state.agg(F.max("delta")).first()[0])
         state = new_state.drop("delta")
         if metrics is not None:
             metrics.add(it, delta, n_links, time.monotonic() - t0)
         if delta < tol:
             break
+    init_state.unpersist()
     links.unpersist()
     return state.select("vid", "rank")
 
@@ -325,6 +359,7 @@ def personalized_pagerank(
     max_iter: int = 100,
     checkpoint_every: int = 5,
     metrics: IterationMetrics | None = None,
+    check_every: int = 2,
 ) -> DataFrame:
     """Personalized PageRank: the reset distribution is uniform over the
     ``seeds`` vertex set instead of uniform over V, so rank measures
@@ -342,12 +377,14 @@ def personalized_pagerank(
     links = _prepare_links(edges, None)
     n_links = links.count()
     truncator = LineageTruncator(spark, hard_every=checkpoint_every or 4)
+    check_every = max(1, check_every)
 
     verts = _vertices(edges)
     outs = edges.select("src").distinct()
     verts = verts.join(outs, verts.vid == outs.src, "left").select(
         "vid", F.col("src").isNull().alias("dangling")
     )
+    has_dangling = bool(verts.filter("dangling").limit(1).count())
     s = seeds.select(F.col(seeds.columns[0]).alias("vid")).distinct()
     flagged = verts.join(s.withColumn("_s", F.lit(True)), "vid", "left").persist()
     # normalize over the seeds PRESENT IN THE GRAPH — a seed id with no
@@ -367,9 +404,10 @@ def personalized_pagerank(
         .select("vid", "base", F.col("base").alias("rank"), "dangling")
         .persist()
     )
-    dangling_mass = state.filter("dangling").agg(F.sum("rank")).first()[0] or 0.0
+    init_state = state
     flagged.unpersist()
 
+    delta = float("inf")
     for it in range(1, max_iter + 1):
         t0 = time.monotonic()
         contribs = (
@@ -378,11 +416,19 @@ def personalized_pagerank(
             .groupBy("vid")
             .agg(F.sum("c").alias("gathered"))
         )
+        joined = state.join(contribs, "vid", "left")
+        if has_dangling:
+            dm = state.filter("dangling").agg(
+                F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm")
+            )
+            joined = joined.crossJoin(F.broadcast(dm))
+            dm_term = F.col("_dm")
+        else:
+            dm_term = F.lit(0.0)
         new_rank_expr = (1.0 - damping) * F.col("base") + F.lit(damping) * (
-            F.coalesce(F.col("gathered"), F.lit(0.0))
-            + F.lit(dangling_mass) * F.col("base")
+            F.coalesce(F.col("gathered"), F.lit(0.0)) + dm_term * F.col("base")
         )
-        new_state = state.join(contribs, "vid", "left").select(
+        new_state = joined.select(
             "vid",
             "base",
             new_rank_expr.alias("rank"),
@@ -390,17 +436,14 @@ def personalized_pagerank(
             F.abs(new_rank_expr - F.col("rank")).alias("delta"),
         )
         new_state = truncator.truncate(new_state, it, stream="state")
-        agg = new_state.agg(
-            F.max("delta").alias("d"),
-            F.sum(F.when(F.col("dangling"), F.col("rank")).otherwise(0.0)).alias("dm"),
-        ).first()
-        delta, dangling_mass = float(agg["d"]), float(agg["dm"] or 0.0)
-        state.unpersist()
+        if tol > 0 and (it % check_every == 0 or it == max_iter):
+            delta = float(new_state.agg(F.max("delta")).first()[0])
         state = new_state.drop("delta")
         if metrics is not None:
             metrics.add(it, delta, n_links, time.monotonic() - t0)
         if delta < tol:
             break
+    init_state.unpersist()
     links.unpersist()
     return state.select("vid", "rank")
 

@@ -211,3 +211,31 @@ def test_personalized_pagerank_ignores_absent_seeds(spark):
         pagerank.personalized_pagerank(
             spark, sym, spark.createDataFrame([(999,)], "seed long")
         )
+
+
+def test_nhop_pairs_reachability_and_min_hops(spark):
+    """Pair-list n-hop matching (the reference nHop kernel's query shape):
+    path 0-1-2-3-4 plus island (10,11)."""
+    edges = [(i, i + 1) for i in range(4)] + [(10, 11)]
+    ec = graph.canonicalize(fixtures.edges_df(spark, edges))
+    pairs = spark.createDataFrame(
+        [(0, 0), (0, 2), (0, 3), (0, 10), (2, 0), (10, 11)], "src long, dst long"
+    )
+    got = {
+        (r.src, r.dst): (r.reachable, r.min_hops)
+        for r in nhop.n_hop_pairs(spark, ec, pairs, hops=2).collect()
+    }
+    assert got == {
+        (0, 0): (True, 0),
+        (0, 2): (True, 2),
+        (0, 3): (False, -1),   # 3 hops away, beyond the budget
+        (0, 10): (False, -1),  # different component
+        (2, 0): (True, 2),     # undirected: symmetric
+        (10, 11): (True, 1),
+    }
+    # directed: the path edges only go forward, so (2,0) is unreachable
+    got_d = {
+        (r.src, r.dst): (r.reachable, r.min_hops)
+        for r in nhop.n_hop_pairs(spark, ec, pairs, hops=2, directed=True).collect()
+    }
+    assert got_d[(2, 0)] == (False, -1) and got_d[(0, 2)] == (True, 2)
