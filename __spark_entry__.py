@@ -441,6 +441,21 @@ def _copurchase_edges(spark, sf_dir):
 _EDGES_SQL = f"WITH {_E} SELECT src, dst, weight FROM e"
 
 
+def _bipartite_stats(spark, sf_dir):
+    """Bipartite S/T header of the part×order graph the benchmark projects
+    — the graphNew.sVertices analog (graph.py:bipartite_stats; reference
+    /root/reference/louvainmod/include/xilinxlouvainInternal.h:85-86)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return graph.bipartite_stats(
+        li.select(F.col("l_partkey").alias("s"), F.col("l_orderkey").alias("t"))
+    )
+
+
+_BIPARTITE_STATS_SQL = """SELECT count(DISTINCT l_partkey) AS n_s,
+  count(DISTINCT l_orderkey) AS n_t, count(*) AS n_edges
+FROM lineitem"""
+
+
 def _vertex_degrees(spark, sf_dir):
     return graph.degrees(graph.symmetrize(_graph_full(spark, sf_dir)))
 
@@ -1797,6 +1812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # csr_roundtrip kept in-window: it now exercises the NEW
         # distributed chunked binary reader
         "csr_roundtrip": _csr_roundtrip,
+        "bipartite_stats": _bipartite_stats,
         # -- representative green coverage of every operator family --
         "copurchase_edges": _copurchase_edges,
         "vertex_degrees": _vertex_degrees,
@@ -1830,10 +1846,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk_batch": _cosine_topk_batch,
         "token_docfreq": _token_docfreq,
         "embedding_norms": _embedding_norms,
-        "multimodal_payload_stats": _multimodal_payload_stats,
         # ---- 50-row window boundary ----
         # green in CORRECTNESS_r02 (artifact of record); shapes redundant
         # with in-window rows
+        "multimodal_payload_stats": _multimodal_payload_stats,
         "simhash_near_pairs": _simhash_near,
         "frame_sample_plan": _frame_sample_plan,
         "read_mtx_fixture": _read_mtx_fixture,
@@ -1924,4 +1940,5 @@ def oracle_sql() -> dict[str, str]:
         "read_doubled_fixture": _doubled_fixture_sql(),
         "metis_roundtrip": _METIS_ROUNDTRIP_SQL,
         "edge_list_roundtrip": _EDGE_LIST_ROUNDTRIP_SQL,
+        "bipartite_stats": _BIPARTITE_STATS_SQL,
     }

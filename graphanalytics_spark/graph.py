@@ -199,10 +199,76 @@ def salted_sum(
     return partial.groupBy(key).agg(F.sum("_partial").alias(out))
 
 
+# ---------------------------------------------------------------------------
+# Bipartite model — the graphNew.sVertices analog
+# ---------------------------------------------------------------------------
+#
+# The reference's graph struct carries a bipartite S/T vertex split in every
+# graph it moves (`long sVertices; // bipartite S count (T = N - S)`,
+# /root/reference/louvainmod/include/xilinxlouvainInternal.h:85-86), and its
+# cosine-similarity product is inherently bipartite (entity × feature dense
+# rows). In Spark a bipartite graph is an (s, t[, weight]) edge DataFrame —
+# the split is a column, not a count — plus the two derived relations below.
+
+
+def bipartite_stats(edges_st: DataFrame, s_col: str = "s", t_col: str = "t") -> DataFrame:
+    """One-row (n_s, n_t, n_edges) — the sVertices/numVertices/numEdges
+    header of the reference's bipartite graphs
+    (/root/reference/louvainmod/include/xilinxlouvainInternal.h:84-91),
+    computed as a single aggregation over the edge table."""
+    return edges_st.agg(
+        F.countDistinct(F.col(s_col)).alias("n_s"),
+        F.countDistinct(F.col(t_col)).alias("n_t"),
+        F.count("*").alias("n_edges"),
+    )
+
+
+def bipartite_project(
+    edges_st: DataFrame,
+    s_col: str = "s",
+    t_col: str = "t",
+    min_weight: float = 0.0,
+    max_t_degree: int | None = None,
+) -> DataFrame:
+    """One-mode projection onto the S side: S-vertices are connected iff
+    they share a T-neighbor, weight = number of shared T's (counting
+    multiplicity). Canonical output (src < dst).
+
+    Scale shape: a self-equi-join on the T key — quadratic only within a
+    T-neighborhood, exactly the bucket-local economics of the LSH pair
+    generators. ``max_t_degree`` is the corresponding hot-key guard: a T
+    shared by d S-vertices emits d(d-1)/2 pairs, so one ubiquitous T (a
+    stdlib-like hub) dominates the output; Ts above the cap carry no
+    discriminative signal and are dropped before the join (the same
+    rationale as the reference's ghost pruning of high-degree neighbors,
+    /root/reference/louvainmod/src/partitionLouvain.cpp:988-1110).
+    ``min_weight`` filters weak co-occurrences after aggregation."""
+    st = edges_st.select(F.col(s_col).alias("s"), F.col(t_col).alias("t"))
+    if max_t_degree is not None:
+        keep = (
+            st.groupBy("t")
+            .agg(F.count("*").alias("_td"))
+            .filter(F.col("_td") <= max_t_degree)
+            .select("t")
+        )
+        st = st.join(keep, "t", "left_semi")
+    a = st.select("t", F.col("s").alias("src"))
+    b = st.select("t", F.col("s").alias("dst"))
+    pairs = a.join(b, "t").filter(F.col("src") < F.col("dst"))
+    out = pairs.groupBy("src", "dst").agg(
+        F.count("*").cast("double").alias("weight")
+    )
+    if min_weight > 0:
+        out = out.filter(F.col("weight") >= min_weight)
+    return out
+
+
 def copurchase_edges(lineitem: DataFrame) -> DataFrame:
     """Derive the engine's benchmark graph from the driver's ``lineitem``
     table: parts are vertices; an undirected edge (a,b), a<b, connects two
-    parts that appear in the same order, weighted by co-occurrence count.
+    parts that appear in the same order, weighted by co-occurrence count —
+    the one-mode projection of the part×order bipartite graph
+    (``bipartite_project``).
 
     This is the relational 'link extraction' the reference does with file
     parsers (SURVEY.md §2.1) — expressed as a self-equi-join so it is
@@ -210,13 +276,8 @@ def copurchase_edges(lineitem: DataFrame) -> DataFrame:
     natural key); at 100 TB the lineitem table would be bucketed by
     l_orderkey so this join is co-located and shuffle-free.
     """
-    a = lineitem.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src")
-    )
-    b = lineitem.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst")
-    )
-    pairs = a.join(b, "ok").filter(F.col("src") < F.col("dst"))
-    return pairs.groupBy("src", "dst").agg(
-        F.count("*").cast("double").alias("weight")
+    return bipartite_project(
+        lineitem.select(
+            F.col("l_partkey").alias("s"), F.col("l_orderkey").alias("t")
+        )
     )

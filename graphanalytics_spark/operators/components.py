@@ -42,12 +42,19 @@ def connected_components(
     metrics=None,
     initial_state: DataFrame | None = None,
     checkpointer=None,
+    check_every: int = 2,
 ) -> DataFrame:
     """Returns DataFrame(vid: long, component: long) with component = min
     reachable vertex id. ``edges_canon`` is the canonical undirected-once
     table (src < dst). ``initial_state`` (vid, label|component) +
     ``checkpointer`` (plans.checkpoint.CheckpointManager) give the same
-    kill-and-resume semantics as pagerank."""
+    kill-and-resume semantics as pagerank.
+
+    ``check_every``: the no-change stop test runs every k rounds (same
+    driver-action economics as pagerank — min-label sweeps are idempotent
+    on a converged state, so up to k-1 extra no-op rounds are the only
+    cost; exactness is unaffected). Unchecked rounds record changed=-1 in
+    metrics."""
     sym = symmetrize(edges_canon).select("src", "dst")
     if partitions is None:
         try:
@@ -61,6 +68,7 @@ def connected_components(
     sym = sym.persist()
     n_edges = sym.count()
     truncator = LineageTruncator(spark, hard_every=checkpoint_every or 4)
+    check_every = max(1, check_every)
 
     if initial_state is not None:
         cols = initial_state.columns
@@ -75,6 +83,7 @@ def connected_components(
             .select("vid", F.col("vid").alias("label"))
             .persist()
         )
+    init_state = state
 
     for it in range(1, max_iter + 1):
         t0 = time.monotonic()
@@ -115,8 +124,9 @@ def connected_components(
         # parquet reset — chained localCheckpoints alone still degrade
         # exponentially in Spark 4.1)
         new_state = truncator.truncate(new_state, it, stream="state")
-        n_changed = new_state.filter("changed").count()
-        state.unpersist()
+        n_changed = -1
+        if it % check_every == 0 or it == max_iter:
+            n_changed = new_state.filter("changed").count()
         state = new_state.drop("changed")
         if metrics is not None:
             metrics.add(it, float(n_changed), n_edges, time.monotonic() - t0)
@@ -127,6 +137,7 @@ def connected_components(
             )
         if n_changed == 0:
             break
+    init_state.unpersist()
     sym.unpersist()
     return state.select("vid", F.col("label").alias("component"))
 

@@ -37,10 +37,14 @@ def label_propagation(
     metrics=None,
     initial_state: DataFrame | None = None,
     checkpointer=None,
+    check_every: int = 2,
 ) -> DataFrame:
     """Returns DataFrame(vid: long, label: long). Labels initialized to
     vid; converges when no label changes in a sweep or max_iter reached.
-    ``initial_state``/``checkpointer`` give kill-and-resume semantics."""
+    ``initial_state``/``checkpointer`` give kill-and-resume semantics.
+    ``check_every``: the no-change stop test runs every k sweeps (sweeps
+    are idempotent on a converged labeling, so semantics are unchanged —
+    same driver-action economics as pagerank/components)."""
     sym = symmetrize(edges_canon)
     if partitions is None:
         try:
@@ -53,6 +57,7 @@ def label_propagation(
     sym = sym.persist()
     n_edges = sym.count()
     truncator = LineageTruncator(spark, hard_every=checkpoint_every or 4)
+    check_every = max(1, check_every)
 
     if initial_state is not None:
         state = initial_state.select("vid", "label").persist()
@@ -63,6 +68,7 @@ def label_propagation(
             .select("vid", F.col("vid").alias("label"))
             .persist()
         )
+    init_state = state
 
     for it in range(1, max_iter + 1):
         t0 = time.monotonic()
@@ -86,8 +92,9 @@ def label_propagation(
         )
         # per-iteration lineage truncation (see plans/truncate.py)
         new_state = truncator.truncate(new_state, it, stream="state")
-        n_changed = new_state.filter("changed").count()
-        state.unpersist()
+        n_changed = -1
+        if it % check_every == 0 or it == max_iter:
+            n_changed = new_state.filter("changed").count()
         state = new_state.drop("changed")
         if metrics is not None:
             metrics.add(it, float(n_changed), n_edges, time.monotonic() - t0)
@@ -95,5 +102,6 @@ def label_propagation(
             checkpointer.maybe_save(it, state, float(n_changed))
         if n_changed == 0:
             break
+    init_state.unpersist()
     sym.unpersist()
     return state.select("vid", "label")

@@ -97,3 +97,46 @@ def test_vertex_following_prepass_louvain_equivalence(spark):
     n_orig = ec.select("src").union(ec.select("dst")).distinct().count()
     n_coll = collapsed.select("src").union(collapsed.select("dst")).distinct().count()
     assert n_coll < n_orig
+
+
+def test_bipartite_project_and_stats(spark):
+    """One-mode projection (graphNew.sVertices analog): s-vertices share an
+    edge iff they share a t-neighbor, weight = shared count."""
+    st = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 10), (1, 11), (2, 11), (4, 12)],
+        "s long, t long",
+    )
+    got = sorted(tuple(r) for r in graph.bipartite_project(st).collect())
+    assert got == [(1, 2, 2.0), (1, 3, 1.0), (2, 3, 1.0)]
+    stats = graph.bipartite_stats(st).first()
+    assert (stats.n_s, stats.n_t, stats.n_edges) == (4, 3, 6)
+    # min_weight keeps only the doubly-shared pair
+    strong = graph.bipartite_project(st, min_weight=2).collect()
+    assert [(r.src, r.dst, r.weight) for r in strong] == [(1, 2, 2.0)]
+
+
+def test_bipartite_project_hub_guard(spark):
+    """A ubiquitous t (shared by all 50 s) would emit 1225 pairs; with
+    max_t_degree it is dropped and only the discriminative t's project."""
+    rows = [(s, 999) for s in range(50)] + [(0, 1), (1, 1)]
+    st = spark.createDataFrame(rows, "s long, t long")
+    unguarded = graph.bipartite_project(st)
+    assert unguarded.count() == 50 * 49 // 2  # pair (0,1) merges into hub pairs
+    guarded = graph.bipartite_project(st, max_t_degree=10)
+    assert [(r.src, r.dst) for r in guarded.collect()] == [(0, 1)]
+
+
+def test_copurchase_is_bipartite_projection(spark):
+    """copurchase_edges == bipartite_project of (part, order)."""
+    li = spark.createDataFrame(
+        [(100, 1), (100, 2), (100, 2), (101, 2), (101, 3)],
+        "l_orderkey long, l_partkey long",
+    )
+    a = sorted(tuple(r) for r in graph.copurchase_edges(li).collect())
+    b = sorted(
+        tuple(r)
+        for r in graph.bipartite_project(
+            li.select(F.col("l_partkey").alias("s"), F.col("l_orderkey").alias("t"))
+        ).collect()
+    )
+    assert a == b and (1, 2, 2.0) in a  # part 2 listed twice in order 100
