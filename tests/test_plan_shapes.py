@@ -95,3 +95,30 @@ def test_bucketed_edges_aggregate_and_join_exchange_free(spark, tmp_path):
         assert "Bucketed: true" in jplan
     finally:
         spark.sql("DROP TABLE IF EXISTS edges_bucketed_test")
+
+
+def test_bipartite_project_guard_is_semijoin(spark):
+    """The max_t_degree hub guard must compile to a semi-join filter on t,
+    never a cartesian shape; the projection itself is an equi-join on t."""
+    st = spark.createDataFrame(
+        [(s, s % 7) for s in range(100)], "s long, t long"
+    )
+    plan = _plan(graph.bipartite_project(st, max_t_degree=10))
+    assert "CartesianProduct" not in plan
+    assert "LeftSemi" in plan
+    # partial+final agg pair: map-side combine before the pair exchange
+    first_agg = plan.index("HashAggregate")
+    assert "HashAggregate" in plan[first_agg + 10 :]
+
+
+def test_nhop_pairs_is_equijoin(spark):
+    from graphanalytics_spark import fixtures
+    from graphanalytics_spark.operators import nhop
+
+    ec = graph.canonicalize(
+        fixtures.edges_df(spark, [(i, i + 1) for i in range(6)])
+    )
+    pairs = spark.createDataFrame([(0, 2), (0, 5)], "src long, dst long")
+    plan = _plan(nhop.n_hop_pairs(spark, ec, pairs, hops=2))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
