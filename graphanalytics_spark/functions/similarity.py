@@ -157,6 +157,41 @@ def target_buckets(
     return out
 
 
+def target_buckets_multiprobe(
+    target: list[float],
+    n_planes: int = 8,
+    n_bands: int = 4,
+    seed: int = 42,
+    multiprobe: int = 0,
+) -> list[tuple[int, int]]:
+    """Multi-probe bucket list: per band, the probe's own bucket plus the
+    ``multiprobe`` buckets reached by flipping the sign bits the target is
+    LEAST confident about (smallest |projection margin| — those are the
+    planes a true neighbor most likely sits on the other side of; the
+    classic multi-probe LSH perturbation order). Returns distinct
+    (band, bucket) pairs, (multiprobe+1) per band — recall rises without
+    adding bands or shrinking planes, and a persisted-index probe stays a
+    partition-pruned read of (multiprobe+1)·n_bands directories."""
+    tnp = np.asarray(target, dtype=float)
+    out: list[tuple[int, int]] = []
+    for band in range(n_bands):
+        planes = _hyperplanes(len(target), n_planes, seed + band)
+        proj = planes @ tnp
+        base = int(sum((1 << i) for i in range(n_planes) if proj[i] >= 0))
+        out.append((band, base))
+        order = np.argsort(np.abs(proj), kind="stable")
+        for i in order[: max(0, multiprobe)]:
+            out.append((band, base ^ (1 << int(i))))
+    # preserve order, drop duplicates
+    seen: set[tuple[int, int]] = set()
+    uniq = []
+    for bb in out:
+        if bb not in seen:
+            seen.add(bb)
+            uniq.append(bb)
+    return uniq
+
+
 def ann_band_buckets(
     embeddings: DataFrame,
     dim: int,
@@ -244,16 +279,20 @@ def ann_probe(
     n_planes: int = 8,
     n_bands: int = 4,
     seed: int = 42,
+    multiprobe: int = 0,
 ) -> DataFrame:
     """Probe a persisted ANN index: compute the target's per-band buckets
     driver-side, read ONLY the matching (band, bucket) partitions
     (partition-pruned scan), dedup candidates, exact cosine re-rank.
     The probe-side analog of the reference's matchTargetVector
-    (/root/reference/cosinesim/include/cosinesim.hpp:497)."""
-    tb = target_buckets(target, n_planes, n_bands, seed)
+    (/root/reference/cosinesim/include/cosinesim.hpp:497).
+    ``multiprobe`` additionally reads the lowest-margin bit-flip buckets
+    per band (see ``target_buckets_multiprobe``) — still a pruned read,
+    (multiprobe+1)·n_bands partitions instead of n_bands."""
+    tb = target_buckets_multiprobe(target, n_planes, n_bands, seed, multiprobe)
     idx = spark.read.parquet(index_path)
     cond = None
-    for band, bucket in enumerate(tb):
+    for band, bucket in tb:
         c = (F.col("band") == band) & (F.col("bucket") == bucket)
         cond = c if cond is None else (cond | c)
     cand = idx.filter(cond).dropDuplicates(["vec_id"])
@@ -270,23 +309,27 @@ def ann_lsh_topk(
     seed: int = 42,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    multiprobe: int = 0,
 ) -> DataFrame:
     """One-shot approximate top-K: candidates = vectors sharing ≥1 of
-    ``n_bands`` hyperplane-sign buckets with the target; exact cosine
-    re-rank within. Evaluates the bucket expressions inline (one corpus
-    scan) — for repeated probes against a fixed corpus, build the index
-    once with ``write_ann_index`` and use ``ann_probe`` so each probe is a
-    partition-pruned read instead of a scan."""
+    ``n_bands`` hyperplane-sign buckets with the target (plus, with
+    ``multiprobe``, the lowest-margin bit-flip buckets per band); exact
+    cosine re-rank within. Evaluates the bucket expressions inline (one
+    corpus scan) — for repeated probes against a fixed corpus, build the
+    index once with ``write_ann_index`` and use ``ann_probe`` so each
+    probe is a partition-pruned read instead of a scan."""
     dim = len(target)
-    tnp = np.asarray(target, dtype=float)
+    tb = target_buckets_multiprobe(target, n_planes, n_bands, seed, multiprobe)
+    by_band: dict[int, list[int]] = {}
+    for band, bucket in tb:
+        by_band.setdefault(band, []).append(bucket)
     cand_filter = None
     df = embeddings
-    for band in range(n_bands):
+    for band, buckets in by_band.items():
         planes = _hyperplanes(dim, n_planes, seed + band)
-        tgt_bucket = int(sum((1 << i) for i, h in enumerate(planes) if tnp @ h >= 0))
         bcol = f"_b{band}"
         df = df.withColumn(bcol, lsh_bucket_expr(F.col(vec_col), planes))
-        cond = F.col(bcol) == tgt_bucket
+        cond = F.col(bcol).isin(buckets)
         cand_filter = cond if cand_filter is None else (cand_filter | cond)
     candidates = df.filter(cand_filter)
     return cosine_topk(spark, candidates, target, k, vec_col, id_col)

@@ -203,3 +203,36 @@ def test_embedding_near_dup_empty_input(spark):
     from graphanalytics_spark.functions import similarity
 
     assert similarity.knn_join_lsh(spark, emb, emb).collect() == []
+
+
+def test_multiprobe_is_superset_rerank(spark):
+    """Multi-probe candidates are a superset of the plain probe's, and the
+    re-rank is exact — so the k-th best sim can only improve (or tie)."""
+    emb, target = _emb(spark), _target(spark)
+    plain = similarity.ann_lsh_topk(spark, emb, target, k=10).collect()
+    mp = similarity.ann_lsh_topk(spark, emb, target, k=10, multiprobe=3).collect()
+    assert len(mp) >= len(plain)
+    if len(plain) == 10 and len(mp) == 10:
+        assert mp[-1].sim >= plain[-1].sim
+    # multiprobe=0 path is byte-identical to the plain bucket set
+    mp0 = similarity.ann_lsh_topk(spark, emb, target, k=10, multiprobe=0).collect()
+    assert [(r.vec_id, r.sim) for r in mp0] == [(r.vec_id, r.sim) for r in plain]
+
+
+def test_ann_probe_multiprobe_matches_one_shot(spark, tmp_path):
+    emb, target = _emb(spark), _target(spark)
+    path = str(tmp_path / "ann_index_mp")
+    similarity.write_ann_index(emb, path)
+    got_probe = [
+        (r.vec_id, r.sim)
+        for r in similarity.ann_probe(spark, path, target, k=12, multiprobe=2).collect()
+    ]
+    got_oneshot = [
+        (r.vec_id, r.sim)
+        for r in similarity.ann_lsh_topk(spark, emb, target, k=12, multiprobe=2).collect()
+    ]
+    assert got_probe == got_oneshot
+    # still a partition-pruned read, just more (band,bucket) pairs
+    probe = similarity.ann_probe(spark, path, target, k=5, multiprobe=2)
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan

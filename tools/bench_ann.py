@@ -84,6 +84,19 @@ def main():
                 f"LSH one-shot (n_planes={n_planes}, 4 bands)",
             )
         )
+    for mp in (2, 4):
+        rows.append(
+            recall_of(
+                lambda t, qid, mp_=mp: [
+                    r
+                    for r in similarity.ann_lsh_topk(
+                        spark, emb, t, k=k + 1, n_planes=8, n_bands=4, multiprobe=mp_
+                    ).collect()
+                    if r.vec_id != qid
+                ][:k],
+                f"LSH multi-probe (n_planes=8, 4 bands, multiprobe={mp})",
+            )
+        )
     for nprobe in (1, 2, 4):
         rows.append(
             recall_of(
@@ -166,6 +179,10 @@ regimes, and the numbers quantify it:
   bands ≈ 84%), measured recall matches. LSH is the engine's
   near-dup/dedup candidate generator (`embedding_near_dup`,
   `knn_join_lsh` for dedup thresholds ≥ 0.85) — not its generic k-NN.
+- **Multi-probe** flips the lowest-|margin| sign bits per band — each
+  extra probe multiplies per-band collision odds without adding bands or
+  index size; a persisted-index probe stays a pruned read of
+  (multiprobe+1)·n_bands partitions.
 - **IVF-Flat** is the generic k-NN scale path: recall rises with nprobe
   (more cells read, nprobe/n_cells of the corpus), already 0.68 at
   nprobe=1 (1/16 of the corpus) on the same moderate-similarity queries.
