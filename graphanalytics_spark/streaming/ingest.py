@@ -56,9 +56,35 @@ def incremental_link_ingest(
     )
 
 
+def _manifest_path(delta_dir: str) -> str:
+    import os
+
+    return os.path.join(delta_dir, "_compaction.json")
+
+
+def _read_manifest(delta_dir: str) -> dict:
+    import json
+    import os
+
+    p = _manifest_path(delta_dir)
+    if not os.path.exists(p):
+        return {"version": 0, "folded": []}
+    with open(p) as f:
+        return json.load(f)
+
+
+def _base_dir(delta_dir: str, version: int) -> str:
+    import os
+
+    return os.path.join(os.path.dirname(delta_dir) or ".",
+                        os.path.basename(delta_dir) + f"_base-{version}")
+
+
 def read_link_table(spark: SparkSession, delta_dir: str) -> DataFrame:
     """Delta-compaction view: the current weighted link table
-    (src_repo, dst_repo, weight) — sum over the batch=N delta partitions.
+    (src_repo, dst_repo, weight) = compacted base (if any) + the batch=N
+    delta partitions the base has not folded yet (per the atomic
+    ``_compaction.json`` manifest — see ``compact_link_deltas``).
 
     Refuses a delta_dir holding legacy flat part-files (the pre-batch_id
     append layout): mixed layouts break partition discovery, and flat rows
@@ -66,21 +92,87 @@ def read_link_table(spark: SparkSession, delta_dir: str) -> DataFrame:
     the delta dir (re-run ingestion from a fresh checkpoint) to upgrade."""
     import os
 
+    flat = []
+    batches = []
     if os.path.isdir(delta_dir):
-        flat = [
-            f
-            for f in os.listdir(delta_dir)
-            if f.startswith("part-") and not f.endswith(".crc")
-        ]
-        if flat:
-            raise ValueError(
-                f"{delta_dir} contains {len(flat)} legacy flat delta files "
-                "(pre-batch_id layout); rebuild the delta directory by "
-                "re-running ingestion with a fresh checkpoint before reading"
+        for f in os.listdir(delta_dir):
+            if f.startswith("part-") and not f.endswith(".crc"):
+                flat.append(f)
+            elif f.startswith("batch="):
+                batches.append(int(f.split("=")[1]))
+    if flat:
+        raise ValueError(
+            f"{delta_dir} contains {len(flat)} legacy flat delta files "
+            "(pre-batch_id layout); rebuild the delta directory by "
+            "re-running ingestion with a fresh checkpoint before reading"
+        )
+    man = _read_manifest(delta_dir)
+    folded = set(man["folded"])
+    live = [b for b in batches if b not in folded]
+    parts = []
+    if man["version"] > 0:
+        parts.append(spark.read.parquet(_base_dir(delta_dir, man["version"])))
+    for b in sorted(live):
+        parts.append(
+            spark.read.parquet(os.path.join(delta_dir, f"batch={b}")).select(
+                "src_repo", "dst_repo", "weight"
             )
-    return (
-        spark.read.parquet(delta_dir)
-        .select("src_repo", "dst_repo", "weight")  # drop the batch key
-        .groupBy("src_repo", "dst_repo")
-        .agg(F.sum("weight").alias("weight"))
+        )
+    if not parts:
+        return spark.createDataFrame(
+            [], "src_repo string, dst_repo string, weight double"
+        )
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    return df.groupBy("src_repo", "dst_repo").agg(F.sum("weight").alias("weight"))
+
+
+def compact_link_deltas(spark: SparkSession, delta_dir: str) -> dict:
+    """Fold the current live batch=N deltas (plus any previous base) into
+    a new compacted base table — the offline compaction that bounds read
+    amplification of the log-structured layout (an Iceberg rewrite commit
+    restated on a plain filesystem).
+
+    Crash safety is manifest-ordered, never in-place:
+    1. write the new base dir ``<delta_dir>_base-<V+1>`` (additive — old
+       base and deltas untouched);
+    2. atomically replace ``_compaction.json`` (tmp + os.replace) to point
+       readers at base V+1 with the folded batch set;
+    3. garbage-collect the old base and folded batch dirs — safe at any
+       time after step 2, and a crash between steps leaves only ignorable
+       garbage (readers follow the manifest, not directory listing alone).
+    A micro-batch replayed AFTER its batch was folded rewrites its
+    batch=N dir; the manifest marks N folded, so the replayed copy is
+    correctly ignored — exactly-once is preserved across compactions.
+    Returns the new manifest."""
+    import json
+    import os
+    import shutil
+
+    man = _read_manifest(delta_dir)
+    folded = set(man["folded"])
+    live = sorted(
+        int(f.split("=")[1])
+        for f in os.listdir(delta_dir)
+        if f.startswith("batch=") and int(f.split("=")[1]) not in folded
     )
+    if not live and man["version"] > 0:
+        return man  # nothing to fold
+    new_version = man["version"] + 1
+    current = read_link_table(spark, delta_dir)
+    new_base = _base_dir(delta_dir, new_version)
+    current.write.mode("overwrite").parquet(new_base)
+    new_man = {"version": new_version, "folded": sorted(folded | set(live))}
+    tmp = _manifest_path(delta_dir) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(new_man, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, _manifest_path(delta_dir))
+    # GC (best-effort; crash here leaves garbage, not corruption)
+    if man["version"] > 0:
+        shutil.rmtree(_base_dir(delta_dir, man["version"]), ignore_errors=True)
+    for b in live:
+        shutil.rmtree(os.path.join(delta_dir, f"batch={b}"), ignore_errors=True)
+    return new_man

@@ -198,3 +198,43 @@ def test_incremental_ingest_batch_replay_is_idempotent(spark, tmp_path):
         for r in sing.read_link_table(spark, delta_dir).collect()
     }
     assert after_new == {k: v * 2 for k, v in once.items()}
+
+
+def test_compaction_preserves_table_and_replay_safety(spark, tmp_path):
+    """compact_link_deltas folds live batches into a base via an atomic
+    manifest: the compacting read is unchanged before/after, further
+    deltas keep accumulating, and a batch REPLAYED after being folded is
+    ignored (exactly-once across compaction)."""
+    from graphanalytics_spark.streaming import ingest as sing
+
+    delta_dir = str(tmp_path / "cdeltas")
+    rows0 = [("a", "b", 2.0), ("a", "c", 1.0)]
+    rows1 = [("a", "b", 3.0), ("d", "e", 1.0)]
+    spark.createDataFrame(rows0, "src_repo string, dst_repo string, weight double") \
+        .write.mode("overwrite").parquet(f"{delta_dir}/batch=0")
+    spark.createDataFrame(rows1, "src_repo string, dst_repo string, weight double") \
+        .write.mode("overwrite").parquet(f"{delta_dir}/batch=1")
+
+    def table():
+        return {
+            (r.src_repo, r.dst_repo): r.weight
+            for r in sing.read_link_table(spark, delta_dir).collect()
+        }
+
+    before = table()
+    assert before == {("a", "b"): 5.0, ("a", "c"): 1.0, ("d", "e"): 1.0}
+    man = sing.compact_link_deltas(spark, delta_dir)
+    assert man["version"] == 1 and man["folded"] == [0, 1]
+    assert table() == before
+    # new delta after compaction accumulates on top of the base
+    spark.createDataFrame([("a", "b", 1.0)], "src_repo string, dst_repo string, weight double") \
+        .write.mode("overwrite").parquet(f"{delta_dir}/batch=2")
+    assert table()[("a", "b")] == 6.0
+    # a zombie replay of folded batch 1 rewrites its dir — must be ignored
+    spark.createDataFrame(rows1, "src_repo string, dst_repo string, weight double") \
+        .write.mode("overwrite").parquet(f"{delta_dir}/batch=1")
+    assert table()[("a", "b")] == 6.0
+    # second compaction folds the new live batch only
+    man2 = sing.compact_link_deltas(spark, delta_dir)
+    assert man2["version"] == 2 and man2["folded"] == [0, 1, 2]
+    assert table()[("a", "b")] == 6.0
