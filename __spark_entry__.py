@@ -1530,6 +1530,52 @@ SELECT CAST(split_part(ln, ' ', 1) AS BIGINT) AS src,
 FROM body"""
 
 
+def _voltage_communities(spark, sf_dir):
+    """Attribute-equality flood fill (buildCommunityBasedOnVoltages analog,
+    /root/reference/grappolo/src/buildNextPhase.cpp:436-533) over the
+    powergrid fixture: node voltage = min incident edge voltage, edges kept
+    iff endpoints agree, then connected components
+    (operators/components.py:attribute_communities)."""
+    from graphanalytics_spark.operators.components import attribute_communities
+    from graphanalytics_spark.sources import readers
+
+    _ensure_format_fixtures()
+    pg = readers.read_power_grid_kv(spark, _POWERGRID_FIXTURE)
+    node_attrs = (
+        pg.select(F.col("src").alias("vid"), "voltage")
+        .unionByName(pg.select(F.col("dst").alias("vid"), "voltage"))
+        .groupBy("vid")
+        .agg(F.min("voltage").alias("voltage"))
+    )
+    edges = pg.select("src", "dst", "weight")
+    return attribute_communities(spark, edges, node_attrs, attr="voltage")
+
+
+def _voltage_communities_sql() -> str:
+    _ensure_format_fixtures()
+    return f"""WITH RECURSIVE {_LINES_SQL.format(path=_POWERGRID_FIXTURE)},
+body AS (SELECT trim(ln) AS ln FROM lines
+         WHERE NOT starts_with(ln, '#') AND trim(ln) != ''),
+pg AS (SELECT CAST(split_part(ln, ' ', 1) AS BIGINT) AS src,
+              CAST(split_part(ln, ' ', 2) AS BIGINT) AS dst,
+              abs(CAST(split_part(ln, ' ', 3) AS DOUBLE)) AS weight,
+              CAST(split_part(ln, ' ', 4) AS DOUBLE) AS voltage
+       FROM body),
+attrs AS (SELECT vid, min(voltage) AS voltage FROM (
+  SELECT src AS vid, voltage FROM pg UNION ALL SELECT dst, voltage FROM pg)
+  GROUP BY vid),
+same AS (SELECT p.src, p.dst FROM pg p
+  JOIN attrs a ON a.vid = p.src JOIN attrs b ON b.vid = p.dst
+  WHERE a.voltage = b.voltage),
+sym AS (SELECT src, dst FROM same UNION ALL SELECT dst, src FROM same),
+cc(vid, label) AS (
+  SELECT src, src FROM sym
+  UNION
+  SELECT sym.dst, cc.label FROM cc JOIN sym ON sym.src = cc.vid
+  WHERE cc.label < sym.dst)
+SELECT vid, min(label) AS component FROM cc GROUP BY vid"""
+
+
 def _read_doubled_fixture(spark, sf_dir):
     """Doubled edge list reader (parse_DoulbedEdgeList analog — both
     directions present in the file, preserved as-is)
@@ -1626,6 +1672,54 @@ def _edge_list_roundtrip(spark, sf_dir):
 
 
 _EDGE_LIST_ROUNDTRIP_SQL = f"WITH {_ES} SELECT src, dst, weight FROM e"
+
+
+def _isolate_hubs(spark, sf_dir):
+    """isolateVertex gate (GraphCSR::isolateVertex analog,
+    /root/reference/mis/include/xilinxmis.hpp:86-106): remove the 5
+    highest-degree vertices (ties → smaller vid) from the sparse graph
+    (graph.py:isolate_vertices)."""
+    e = _graph_sparse(spark, sf_dir)
+    deg = graph.degrees(graph.symmetrize(e))
+    hubs = deg.orderBy(F.desc("degree"), F.asc("vid")).limit(5).select("vid")
+    return graph.isolate_vertices(e, hubs)
+
+
+_ISOLATE_HUBS_SQL = f"""WITH {_ES}, {_SYM},
+deg AS (SELECT src AS vid, count(*) AS degree FROM sym GROUP BY src),
+hubs AS (SELECT vid FROM deg ORDER BY degree DESC, vid ASC LIMIT 5)
+SELECT e.src, e.dst, e.weight FROM e
+WHERE e.src NOT IN (SELECT vid FROM hubs)
+  AND e.dst NOT IN (SELECT vid FROM hubs)"""
+
+
+def _subgraph_range_q(spark, sf_dir):
+    """CreateSubG contiguous-range slice (partitionLouvain.cpp:386 analog;
+    graph.py:subgraph_range) — both endpoints in [500, 1500)."""
+    return graph.subgraph_range(_graph_sparse(spark, sf_dir), 500, 1500)
+
+
+_SUBGRAPH_RANGE_SQL = f"""WITH {_ES}
+SELECT src, dst, weight FROM e
+WHERE src BETWEEN 500 AND 1499 AND dst BETWEEN 500 AND 1499"""
+
+
+def _vertex_following_map(spark, sf_dir):
+    """vertexFollowing mapping (grappolo/src/vertexFollowing.cpp:46-88
+    analog): degree-1 vertices map to their only neighbor, with the
+    isolated-pair rule (both degree-1 → smaller id stays)
+    (graph.py:vertex_following)."""
+    return graph.vertex_following(_graph_sparse(spark, sf_dir))
+
+
+_VERTEX_FOLLOWING_SQL = f"""WITH {_ES}, {_SYM},
+deg AS (SELECT src AS vid, count(*) AS degree, min(dst) AS only_neighbor
+        FROM sym GROUP BY src),
+nd AS (SELECT vid AS only_neighbor, degree AS nbr_degree FROM deg)
+SELECT d.vid,
+  CASE WHEN d.degree = 1 AND (n.nbr_degree > 1 OR d.only_neighbor < d.vid)
+       THEN d.only_neighbor ELSE d.vid END AS rep
+FROM deg d JOIN nd n ON n.only_neighbor = d.only_neighbor"""
 
 
 # --- IVF ANN + embedding-cosine near-dup ---
@@ -1838,6 +1932,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "read_dimacs1_fixture": _read_dimacs1_fixture,
         "read_powergrid_fixture": _read_powergrid_fixture,
         "read_doubled_fixture": _read_doubled_fixture,
+        "voltage_communities": _voltage_communities,
         "metis_roundtrip": _metis_roundtrip,
         "edge_list_roundtrip": _edge_list_roundtrip,
         # csr_roundtrip kept in-window: it now exercises the NEW
@@ -1875,14 +1970,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_match": _fuzzy_match,
         "cosine_topk": _cosine_topk,
         "cosine_topk_batch": _cosine_topk_batch,
-        "token_docfreq": _token_docfreq,
         # ---- 50-row window boundary ----
-        # green in CORRECTNESS_r02 (artifact of record); shapes redundant
-        # with in-window rows
+        # green in CORRECTNESS_r02 (artifact of record) or oracled and
+        # staged for a future round's window rotation
+        "token_docfreq": _token_docfreq,
         "embedding_norms": _embedding_norms,
         "multimodal_payload_stats": _multimodal_payload_stats,
         "simhash_near_pairs": _simhash_near,
         "frame_sample_plan": _frame_sample_plan,
+        "isolate_hubs": _isolate_hubs,
+        "subgraph_range_q": _subgraph_range_q,
+        "vertex_following_map": _vertex_following_map,
         "read_mtx_fixture": _read_mtx_fixture,
         "read_snap_fixture": _read_snap_fixture,
         "read_dimacs9_fixture": _read_dimacs9_fixture,
@@ -1973,4 +2071,8 @@ def oracle_sql() -> dict[str, str]:
         "edge_list_roundtrip": _EDGE_LIST_ROUNDTRIP_SQL,
         "bipartite_stats": _BIPARTITE_STATS_SQL,
         "pagerank_converged_cert": _PAGERANK_CERT_SQL,
+        "voltage_communities": _voltage_communities_sql(),
+        "isolate_hubs": _ISOLATE_HUBS_SQL,
+        "subgraph_range_q": _SUBGRAPH_RANGE_SQL,
+        "vertex_following_map": _VERTEX_FOLLOWING_SQL,
     }

@@ -180,15 +180,9 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")
-    if max_bucket_size is not None:
-        from pyspark.sql.window import Window
+    from graphanalytics_spark.functions.similarity import cap_bucket_size
 
-        w = Window.partitionBy("band", "bucket")
-        banded = (
-            banded.withColumn("_bsz", F.count("*").over(w))
-            .filter(F.col("_bsz") <= max_bucket_size)
-            .drop("_bsz")
-        )
+    banded = cap_bucket_size(banded, max_bucket_size)
     l = banded.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
     r = banded.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
     return (
