@@ -199,6 +199,69 @@ def salted_sum(
     return partial.groupBy(key).agg(F.sum("_partial").alias(out))
 
 
+def dense_ids(
+    df: DataFrame, key_col: str, id_col: str = "id", partitions: int | None = None
+) -> DataFrame:
+    """(key, id) with id = dense 0..k-1 rank of the DISTINCT keys in sort
+    order — identical to SQL ``dense_rank() OVER (ORDER BY key) - 1``, but
+    distributed: an empty-over() window funnels every key through one task
+    (fine at 10³ keys, a wall at 10⁸ — e.g. first-phase Louvain community
+    labels or the repo dimension at 10^12 files). Two-pass prefix pattern:
+    range-partition + sort the distinct keys, collect per-partition counts
+    (tiny acks), prefix-sum into base offsets, assign id = base + local
+    position (the renumbering analog of the reference's
+    renumberClustersContiguously,
+    /root/reference/grappolo/src/buildNextPhase.cpp:48-125)."""
+    import numpy as np
+    import pandas as pd
+
+    spark = df.sparkSession
+    n_part = partitions or spark.sparkContext.defaultParallelism
+    # eager localCheckpoint: both passes must see the identical
+    # partitioning; blocks are freed by the ContextCleaner on GC
+    srt = (
+        df.select(F.col(key_col).alias("_key"))
+        .distinct()
+        .repartitionByRange(n_part, "_key")
+        .sortWithinPartitions("_key")
+        .localCheckpoint(eager=True)
+    )
+
+    def count_ack(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        n = 0
+        for pdf in batches:
+            n += len(pdf)
+        yield pd.DataFrame({"pid": [pid], "n": [n]})
+
+    acks = sorted(
+        (r["pid"], r["n"])
+        for r in srt.mapInPandas(count_ack, "pid int, n long").collect()
+    )
+    base, cum = {}, 0
+    for pid, n in acks:
+        base[pid] = cum
+        cum += n
+
+    key_type = df.schema[key_col].dataType.simpleString()
+
+    def assign(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        off = base[pid]
+        for pdf in batches:
+            ids = np.arange(off, off + len(pdf), dtype=np.int64)
+            off += len(pdf)
+            yield pd.DataFrame({"_key": pdf["_key"].values, id_col: ids})
+
+    return srt.mapInPandas(assign, f"_key {key_type}, {id_col} long").select(
+        F.col("_key").alias(key_col), id_col
+    )
+
+
 # ---------------------------------------------------------------------------
 # Bipartite model — the graphNew.sVertices analog
 # ---------------------------------------------------------------------------

@@ -64,58 +64,14 @@ def vertex_dimension(repos: DataFrame, partitions: int | None = None) -> DataFra
     (identical to SQL ``dense_rank() OVER (ORDER BY repo) - 1`` — the
     oracle's definition — since repos are distinct).
 
-    Distributed two-pass assignment, NOT a global window: an empty-over()
+    Distributed two-pass assignment, NOT a global window (an empty-over()
     dense_rank funnels every row through ONE task — fine for thousands of
-    repos, a bottleneck at 10^8. Here the distinct repos are
-    range-partitioned + sorted on name (each partition holds a contiguous
-    name range), pass 1 collects per-partition counts (tiny acks), the
-    driver prefix-sums them into per-partition base offsets, and pass 2
-    assigns vid = base + local position — the same two-pass prefix pattern
-    as the distributed CSR writer (sources/writers.py:write_csr_binary)."""
-    import numpy as np
-    import pandas as pd
+    repos, a bottleneck at 10^8): see graph.dense_ids."""
+    from graphanalytics_spark.graph import dense_ids
 
-    spark = repos.sparkSession
-    n_part = partitions or spark.sparkContext.defaultParallelism
-    # eager localCheckpoint: both passes must see the identical
-    # partitioning; blocks are freed by the ContextCleaner on GC
-    srt = (
-        repos.select("repo")
-        .distinct()
-        .repartitionByRange(n_part, "repo")
-        .sortWithinPartitions("repo")
-        .localCheckpoint(eager=True)
-    )
-
-    def count_ack(batches):
-        from pyspark import TaskContext
-
-        pid = TaskContext.get().partitionId()
-        n = 0
-        for pdf in batches:
-            n += len(pdf)
-        yield pd.DataFrame({"pid": [pid], "n": [n]})
-
-    acks = sorted(
-        (r["pid"], r["n"])
-        for r in srt.mapInPandas(count_ack, "pid int, n long").collect()
-    )
-    base, cum = {}, 0
-    for pid, n in acks:
-        base[pid] = cum
-        cum += n
-
-    def assign(batches):
-        from pyspark import TaskContext
-
-        pid = TaskContext.get().partitionId()
-        off = base[pid]
-        for pdf in batches:
-            vids = np.arange(off, off + len(pdf), dtype=np.int64)
-            off += len(pdf)
-            yield pd.DataFrame({"vid": vids, "repo": pdf["repo"].values})
-
-    return srt.mapInPandas(assign, "vid long, repo string")
+    return dense_ids(
+        repos.select("repo"), "repo", "vid", partitions=partitions
+    ).select("vid", "repo")
 
 
 def build_edges(repos: DataFrame) -> tuple[DataFrame, DataFrame]:

@@ -16,7 +16,8 @@ then one hash aggregation on (c_src, c_dst).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
-from pyspark.sql.window import Window
+
+from graphanalytics_spark.graph import dense_ids
 
 
 def renumber_map(labels: DataFrame) -> DataFrame:
@@ -25,12 +26,9 @@ def renumber_map(labels: DataFrame) -> DataFrame:
     reference's deterministic renumber. This is the table to join when a
     *label value* (not a vertex id) must be translated into the contracted
     vertex-id space — e.g. composing an original→community mapping across
-    Louvain phases."""
-    distinct = labels.select("label").distinct()
-    return distinct.select(
-        "label",
-        (F.dense_rank().over(Window.orderBy("label")) - 1).alias("cid"),
-    )
+    Louvain phases. Distributed two-pass assignment (graph.dense_ids) —
+    first-phase label counts are O(V), too large for a global window."""
+    return dense_ids(labels, "label", "cid")
 
 
 def renumber_labels(labels: DataFrame) -> DataFrame:
