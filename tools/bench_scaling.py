@@ -1,5 +1,5 @@
 """Scaling-efficiency evidence (BASELINE.json north_rule): run the
-identical PageRank job at two parallelism levels (local[8] vs local[32])
+identical PageRank job at two parallelism levels (default local[2] vs local[8]; see BENCH/BASELINE.md for why this VM's bandwidth ceiling makes 8v32 meaningless)
 on the same input and report throughput at both + efficiency.
 
 Each level runs in a fresh subprocess (one JVM per SparkSession — a
