@@ -80,14 +80,33 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     text_col: str = "text",
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Exact shingle-Jaccard similar pairs (a < b): inverted-index
     self-join. Returns (doc_a, doc_b, jaccard ≥ threshold), jaccard rounded
-    to 6 decimals."""
+    to 6 decimals.
+
+    ``max_shingle_df`` is the inverted-index hot-key guard: a shingle with
+    document frequency d contributes d(d-1)/2 join pairs, so one
+    boilerplate shingle shared corpus-wide is quadratic. Shingles above
+    the cap are dropped from the JOIN side only — sizes keep counting them,
+    so the Jaccard denominator stays exact and the result is a subset
+    (possible under-count of n_inter → candidates-only semantics, exactly
+    how this operator is meant to run at scale: on LSH candidates).
+    None (default) disables the guard for exact oracle parity."""
     st = shingle_table(docs, n, text_col)
     sizes = st.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a = st.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = st.select(F.col("doc_id").alias("doc_b"), "shingle")
+    joinable = st
+    if max_shingle_df is not None:
+        keep = (
+            st.groupBy("shingle")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") <= max_shingle_df)
+            .select("shingle")
+        )
+        joinable = st.join(keep, "shingle", "left_semi")
+    a = joinable.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = joinable.select(F.col("doc_id").alias("doc_b"), "shingle")
     inter = (
         a.join(b, "shingle")
         .filter(F.col("doc_a") < F.col("doc_b"))
@@ -297,11 +316,20 @@ def simhash_near_pairs(
     max_hamming: int = 3,
     bands: int = 4,
     text_col: str = "text",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: band the 64-bit fingerprint into
     ``bands`` chunks (pigeonhole: hamming ≤ bands−1 ⇒ some chunk equal),
     join on equal chunks, verify hamming distance ≤ max_hamming via
-    bit_count (built-in)."""
+    bit_count (built-in).
+
+    ``max_bucket_size`` caps the per-(band, chunk-value) population before
+    the join (similarity.cap_bucket_size) — a degenerate chunk value (e.g.
+    near-zero vote sums over boilerplate vocabulary) is quadratic in its
+    population, the same hot-bucket failure mode as every banded pair
+    generator here. None (default) keeps exact oracle parity."""
+    from graphanalytics_spark.functions.similarity import cap_bucket_size
+
     fp = simhash(docs, 64, text_col)
     chunk = 64 // bands
     banded = fp.select(
@@ -321,6 +349,7 @@ def simhash_near_pairs(
             )
         ).alias("bb"),
     ).select("doc_id", F.col("simhash"), "bb.band", "bb.bucket")
+    banded = cap_bucket_size(banded, max_bucket_size)
     l = banded.select(
         F.col("doc_id").alias("doc_a"), F.col("simhash").alias("fa"), "band", "bucket"
     )

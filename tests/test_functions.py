@@ -225,3 +225,33 @@ def test_corpus_clean_funnel_and_invariants(spark):
     )
     assert rep["total"] >= rep["after_language"] >= rep["after_quality"] >= rep["final"]
     assert rep["final"] == len(rows)
+
+
+def test_simhash_and_jaccard_hot_key_guards(spark):
+    """Every banded/inverted pair generator carries a hot-key cap: 120
+    identical docs share all simhash chunks and all shingles — unguarded
+    that is 7140 quadratic pairs; guarded, zero (they belong to exact
+    dedup, which catches them in one hash agg)."""
+    from graphanalytics_spark.functions import dedup
+
+    docs = spark.createDataFrame(
+        [(i, "common boilerplate text repeated verbatim in every document") for i in range(120)],
+        "doc_id long, text string",
+    )
+    assert dedup.simhash_near_pairs(spark, docs).count() == 120 * 119 // 2
+    assert (
+        dedup.simhash_near_pairs(spark, docs, max_bucket_size=50).count() == 0
+    )
+    assert (
+        dedup.ngram_jaccard_pairs(spark, docs, threshold=0.9).count()
+        == 120 * 119 // 2
+    )
+    assert (
+        dedup.ngram_jaccard_pairs(
+            spark, docs, threshold=0.9, max_shingle_df=50
+        ).count()
+        == 0
+    )
+    # and exact dedup reduces the same corpus to ONE keeper
+    d = dedup.exact_dedup(spark, docs).collect()
+    assert len(d) == 1 and d[0].n_dupes == 120
