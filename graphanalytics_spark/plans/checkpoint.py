@@ -19,11 +19,34 @@ this module keeps the same semantics on a plain filesystem so the sandbox
 from __future__ import annotations
 
 import json
+import math
 import os
+import re
 import shutil
 import time
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+
+_SNAP_DIR_RE = re.compile(r"^(iter|phase)=(\d+)$")
+
+
+def _snap_number(dirname: str) -> int | None:
+    """Parse ``iter=NNNNN`` / ``phase=NNNNN`` directory names; None for
+    anything else (stray ``*.tmp`` files, partial writes) so directory
+    scans never raise on non-snapshot entries."""
+    m = _SNAP_DIR_RE.match(dirname)
+    return int(m.group(2)) if m else None
+
+
+def _sane_metric(metric: float | None) -> float | None:
+    """Lineage sidecars are strict JSON: non-finite metrics (inf on an
+    unchecked PageRank iteration) would serialize as the non-standard
+    ``Infinity`` token, and negative sentinels (n_changed=-1 when the
+    convergence check was batched past this iteration) are 'not measured'
+    — both are recorded as null."""
+    if metric is None or not math.isfinite(metric) or metric < 0:
+        return None
+    return float(metric)
 
 
 def _write_json_atomic(path: str, obj: dict) -> None:
@@ -67,7 +90,8 @@ class CheckpointManager:
         if not os.path.isdir(self.root):
             return
         for d in os.listdir(self.root):
-            if d.startswith("iter=") and int(d.split("=")[1]) > iteration:
+            n = _snap_number(d)
+            if d.startswith("iter=") and n is not None and n > iteration:
                 shutil.rmtree(os.path.join(self.root, d), ignore_errors=True)
 
     def save(self, iteration: int, state: DataFrame, metric: float) -> str:
@@ -83,7 +107,7 @@ class CheckpointManager:
         )
         lineage = {
             "iteration": iteration,
-            "metric": metric,
+            "metric": _sane_metric(metric),
             "rows_per_partition": {str(r["partition"]): r["count"] for r in per_part},
             "n_rows": sum(r["count"] for r in per_part),
             "wall_s": time.monotonic() - t0,
@@ -162,7 +186,8 @@ class PhaseCheckpoint:
         # highest-complete-phase pick and resume a foreign lineage
         if os.path.isdir(self.root):
             for other in os.listdir(self.root):
-                if other.startswith("phase=") and int(other.split("=")[1]) > phase:
+                n = _snap_number(other)
+                if other.startswith("phase=") and n is not None and n > phase:
                     shutil.rmtree(os.path.join(self.root, other), ignore_errors=True)
         g.write.mode("overwrite").parquet(os.path.join(d, "edges"))
         mapping.write.mode("overwrite").parquet(os.path.join(d, "mapping"))

@@ -109,10 +109,23 @@ def read_link_table(spark: SparkSession, delta_dir: str) -> DataFrame:
     man = _read_manifest(delta_dir)
     folded = set(man["folded"])
     live = [b for b in batches if b not in folded]
+    return _assemble_link_table(spark, delta_dir, man["version"], live)
+
+
+def _assemble_link_table(
+    spark: SparkSession, delta_dir: str, base_version: int, batch_ids: list[int]
+) -> DataFrame:
+    """base (if any) + the EXPLICIT batch list, summed. Taking the batch
+    list as a parameter (instead of re-listing the directory) is what lets
+    ``compact_link_deltas`` fold exactly the set it records in the
+    manifest — no listdir race between 'what we folded' and 'what we
+    wrote'."""
+    import os
+
     parts = []
-    if man["version"] > 0:
-        parts.append(spark.read.parquet(_base_dir(delta_dir, man["version"])))
-    for b in sorted(live):
+    if base_version > 0:
+        parts.append(spark.read.parquet(_base_dir(delta_dir, base_version)))
+    for b in sorted(batch_ids):
         parts.append(
             spark.read.parquet(os.path.join(delta_dir, f"batch={b}")).select(
                 "src_repo", "dst_repo", "weight"
@@ -145,6 +158,15 @@ def compact_link_deltas(spark: SparkSession, delta_dir: str) -> dict:
     A micro-batch replayed AFTER its batch was folded rewrites its
     batch=N dir; the manifest marks N folded, so the replayed copy is
     correctly ignored — exactly-once is preserved across compactions.
+
+    The delta directory is listed ONCE; the fold reads exactly that batch
+    set (``_assemble_link_table``), so a batch appended concurrently with
+    compaction is neither double-counted (folded into the base but left
+    out of the manifest) nor lost — it simply stays live for the next
+    compaction or read. GC of replaced dirs is still not safe against a
+    *reader* concurrently holding the previous manifest — run compaction
+    when no query planned against the old base is mid-flight (on a real
+    cluster, Iceberg snapshot expiry with a retention window covers this).
     Returns the new manifest."""
     import json
     import os
@@ -160,7 +182,7 @@ def compact_link_deltas(spark: SparkSession, delta_dir: str) -> dict:
     if not live and man["version"] > 0:
         return man  # nothing to fold
     new_version = man["version"] + 1
-    current = read_link_table(spark, delta_dir)
+    current = _assemble_link_table(spark, delta_dir, man["version"], live)
     new_base = _base_dir(delta_dir, new_version)
     current.write.mode("overwrite").parquet(new_base)
     new_man = {"version": new_version, "folded": sorted(folded | set(live))}
