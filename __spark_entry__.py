@@ -456,6 +456,51 @@ _BIPARTITE_STATS_SQL = """SELECT count(DISTINCT l_partkey) AS n_s,
 FROM lineitem"""
 
 
+def _similar_vertices_topk(spark, sf_dir):
+    """Adjacency-Jaccard top-3 similar vertices over the sparse graph with
+    the join-side hub cap engaged (graph.py:similar_vertices; reference
+    jaccard-sparse kernel /root/reference/L1/include/hw/similarity/
+    general_similarity.hpp:1424)."""
+    return graph.similar_vertices(
+        _graph_sparse(spark, sf_dir), k=3, metric="jaccard", max_degree=8
+    )
+
+
+def _similar_vertices_cosine(spark, sf_dir):
+    """Cosine-over-binary-adjacency variant of the same kernel
+    (general_similarity.hpp:2980 dense/sparse cosine enums)."""
+    return graph.similar_vertices(
+        _graph_sparse(spark, sf_dir), k=3, metric="cosine", max_degree=8
+    )
+
+
+def _similar_vertices_sql(metric: str = "jaccard", k: int = 3, cap: int = 8) -> str:
+    sim = (
+        "round(CAST(common AS DOUBLE) / (ds.deg + dd.deg - common), 8)"
+        if metric == "jaccard"
+        else "round(CAST(common AS DOUBLE) / sqrt(CAST(ds.deg * dd.deg AS DOUBLE)), 8)"
+    )
+    return f"""WITH {_ES},
+sym AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+deg AS (SELECT src AS vid, count(*) AS deg FROM sym GROUP BY 1),
+adj AS (SELECT src AS vid, dst AS nbr FROM sym
+        WHERE dst IN (SELECT vid FROM deg WHERE deg <= {cap})),
+common AS (
+  SELECT a.vid AS src, b.vid AS dst, count(*) AS common
+  FROM adj a JOIN adj b ON a.nbr = b.nbr AND a.vid < b.vid
+  GROUP BY 1, 2),
+scored AS (
+  SELECT src, dst, common, {sim} AS sim
+  FROM common JOIN deg ds ON ds.vid = common.src
+              JOIN deg dd ON dd.vid = common.dst),
+bidir AS (SELECT src, dst, common, sim FROM scored
+          UNION ALL SELECT dst, src, common, sim FROM scored)
+SELECT src, dst, common, sim FROM (
+  SELECT *, row_number() OVER (PARTITION BY src ORDER BY sim DESC, dst ASC) AS rnk
+  FROM bidir)
+WHERE rnk <= {k}"""
+
+
 def _vertex_degrees(spark, sf_dir):
     return graph.degrees(graph.symmetrize(_graph_full(spark, sf_dir)))
 
@@ -1913,6 +1958,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # with redundant shapes (TPC-H joins/aggs, event windows) sit in the
     # tail — their r2 artifact rows remain the evidence of record.
     return {
+        # -- new in r4 --
+        "similar_vertices_topk": _similar_vertices_topk,
+        "similar_vertices_cosine": _similar_vertices_cosine,
         # -- oracled in r2 but never driver-checked (VERDICT r2 #1) --
         "ann_lsh_topk": _ann_topk,
         "ann_probe_topk": _ann_probe_topk,
@@ -2075,4 +2123,6 @@ def oracle_sql() -> dict[str, str]:
         "isolate_hubs": _ISOLATE_HUBS_SQL,
         "subgraph_range_q": _SUBGRAPH_RANGE_SQL,
         "vertex_following_map": _VERTEX_FOLLOWING_SQL,
+        "similar_vertices_topk": _similar_vertices_sql("jaccard"),
+        "similar_vertices_cosine": _similar_vertices_sql("cosine"),
     }

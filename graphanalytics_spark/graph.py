@@ -19,6 +19,7 @@ vertices should use ``salted_sum`` below.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
 
 EDGE_COLS = ("src", "dst", "weight")
 
@@ -324,6 +325,87 @@ def bipartite_project(
     if min_weight > 0:
         out = out.filter(F.col("weight") >= min_weight)
     return out
+
+
+def similar_vertices(
+    edges_canon: DataFrame,
+    k: int = 10,
+    metric: str = "jaccard",
+    max_degree: int | None = None,
+) -> DataFrame:
+    """Per-vertex top-K most similar vertices by *neighbor-set* overlap —
+    the sparse-graph half of the reference's general-similarity kernel,
+    which accepts both Jaccard and cosine over sparse adjacency rows
+    (/root/reference/L1/include/hw/similarity/general_similarity.hpp:2980,
+    jaccard-sparse paths :1424,1614; enums in similarity/enums.hpp). The
+    engine's dense-embedding cosine covers the dense half
+    (functions/similarity.py); this is the link-prediction form: "which
+    vertices share the most neighbors".
+
+    For a candidate pair (u, v) with c = |N(u) ∩ N(v)| common neighbors:
+      jaccard = c / (deg(u) + deg(v) - c)
+      cosine  = c / sqrt(deg(u) * deg(v))        (binary adjacency rows)
+    Output: (src, dst, common, sim) — each vertex's top-``k`` partners,
+    ordered per-vertex by sim desc then dst asc (total order).
+
+    Scale shape: the numerator is exactly ``bipartite_project``'s
+    co-occurrence self-join with the *neighbor* as the bucket key —
+    quadratic only within one vertex's neighborhood. ``max_degree`` is the
+    mandatory-at-scale hot-key guard: a degree-d hub contributes d(d-1)/2
+    candidate pairs, so hubs above the cap are dropped from the JOIN SIDES
+    ONLY (common-neighbor paths *through* mega-hubs carry no
+    discriminative signal — the same join-side-only rationale as the ngram
+    index's max_shingle_df cap, functions/dedup.py). Degrees — the
+    denominators — are computed on the UNCAPPED graph, so every emitted
+    similarity is exact for its surviving candidate pair. The per-vertex
+    top-K window partitions by vertex id (V-way parallel); no cross
+    product anywhere.
+    """
+    if metric not in ("jaccard", "cosine"):
+        raise ValueError(f"metric must be 'jaccard' or 'cosine', got {metric!r}")
+    sym = symmetrize(edges_canon)
+    adj = sym.select(F.col("src").alias("vid"), F.col("dst").alias("nbr"))
+    deg = adj.groupBy("vid").agg(F.count("*").alias("deg"))
+    join_adj = adj
+    if max_degree is not None:
+        keep = (
+            deg.filter(F.col("deg") <= max_degree)
+            .select(F.col("vid").alias("nbr"))
+        )
+        join_adj = join_adj.join(keep, "nbr", "left_semi")
+    a = join_adj.select("nbr", F.col("vid").alias("src"))
+    b = join_adj.select("nbr", F.col("vid").alias("dst"))
+    common = (
+        a.join(b, "nbr")
+        .filter(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("common"))
+    )
+    pairs = common.join(
+        deg.select(F.col("vid").alias("src"), F.col("deg").alias("deg_src")), "src"
+    ).join(
+        deg.select(F.col("vid").alias("dst"), F.col("deg").alias("deg_dst")), "dst"
+    )
+    if metric == "jaccard":
+        sim = F.col("common") / (
+            F.col("deg_src") + F.col("deg_dst") - F.col("common")
+        )
+    else:
+        sim = F.col("common") / F.sqrt(F.col("deg_src") * F.col("deg_dst"))
+    # rounded BEFORE the ranking window so the per-vertex order (and the
+    # k-th-place cutoff) is reproducible across engines (oracle discipline)
+    scored = pairs.select("src", "dst", "common", F.round(sim, 8).alias("sim"))
+    both = scored.unionByName(
+        scored.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "common", "sim"
+        )
+    )
+    w = Window.partitionBy("src").orderBy(F.col("sim").desc(), F.col("dst").asc())
+    return (
+        both.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .drop("rnk")
+    )
 
 
 def copurchase_edges(lineitem: DataFrame) -> DataFrame:

@@ -140,3 +140,64 @@ def test_copurchase_is_bipartite_projection(spark):
         ).collect()
     )
     assert a == b and (1, 2, 2.0) in a  # part 2 listed twice in order 100
+
+
+def test_similar_vertices_tiny_oracle(spark):
+    """Hand-computed Jaccard/cosine over neighbor sets (the sparse half of
+    the reference's general-similarity kernel). Graph:
+    0-1, 0-2, 1-2, 1-3, 2-3, 3-4; N(0)={1,2} N(1)={0,2,3} N(2)={0,1,3}
+    N(3)={1,2,4} N(4)={3}."""
+    ec = graph.canonicalize(
+        fixtures.edges_df(spark, [(0, 1), (0, 2), (1, 2), (1, 3), (2, 3), (3, 4)])
+    )
+    jac = {
+        (r.src, r.dst): (r.common, r.sim)
+        for r in graph.similar_vertices(ec, k=10, metric="jaccard").collect()
+        if r.src < r.dst
+    }
+    assert jac[(0, 3)] == (2, round(2 / 3, 8))   # share {1,2}
+    assert jac[(1, 2)] == (2, 0.5)               # share {0,3}
+    assert jac[(0, 1)] == (1, 0.25)
+    assert jac[(1, 4)] == (1, round(1 / 3, 8))   # share {3}
+    assert (3, 4) not in jac                     # adjacent but no common nbr
+    cos = {
+        (r.src, r.dst): r.sim
+        for r in graph.similar_vertices(ec, k=10, metric="cosine").collect()
+        if r.src < r.dst
+    }
+    assert cos[(0, 3)] == round(2 / (2 * 3) ** 0.5, 8)
+    assert cos[(1, 2)] == round(2 / 3, 8)
+
+
+def test_similar_vertices_hub_guard_and_topk(spark):
+    """A degree-50 hub makes every pendant pair a candidate (1225 pairs);
+    max_degree drops the hub from the JOIN SIDE only, so capped output
+    keeps just the discriminative shared neighbor while degrees (the
+    denominators) stay exact."""
+    rows = [(i, 999) for i in range(50)] + [(0, 100), (1, 100)]
+    ec = graph.canonicalize(fixtures.edges_df(spark, rows))
+    un = graph.similar_vertices(ec, k=100, metric="jaccard")
+    # 1225 hub-induced pairs + (100,999) sharing {0,1}; both directions
+    assert un.count() == 2 * (50 * 49 // 2 + 1)
+    # per-vertex truncation: each of 0..49 has 49 candidates, keeps k
+    k3 = graph.similar_vertices(ec, k=3, metric="jaccard")
+    per_src = {r.src: r.cnt for r in k3.groupBy("src").agg(
+        F.count("*").alias("cnt")).collect()}
+    assert per_src[0] == 3 and per_src[25] == 3
+    capped = graph.similar_vertices(ec, k=100, metric="jaccard", max_degree=10)
+    got = {(r.src, r.dst): (r.common, r.sim) for r in capped.collect()}
+    # hub paths gone: only (0,1) via 100 and (100,999) via {0,1} remain
+    assert set(got) == {(0, 1), (1, 0), (100, 999), (999, 100)}
+    # exact uncapped degrees in the denominator: deg(0)=deg(1)=2, common
+    # capped to the surviving path -> 1/(2+2-1)
+    assert got[(0, 1)] == (1, round(1 / 3, 8))
+    assert got[(100, 999)] == (2, round(2 / (2 + 50 - 2), 8))
+
+
+def test_similar_vertices_bad_metric(spark):
+    ec = graph.canonicalize(fixtures.edges_df(spark, [(0, 1)]))
+    try:
+        graph.similar_vertices(ec, metric="euclid")
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
