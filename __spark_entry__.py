@@ -1719,6 +1719,82 @@ def _edge_list_roundtrip(spark, sf_dir):
 _EDGE_LIST_ROUNDTRIP_SQL = f"WITH {_ES} SELECT src, dst, weight FROM e"
 
 
+def _binary_edge_roundtrip(spark, sf_dir):
+    """Binary edge-list sink+source gate: sparse graph → chunked binary
+    write (writers.py:write_edge_list_binary, unordered 16-byte records)
+    → byte-range chunked read (readers.py:read_edge_list_binary) must
+    reproduce the pair set; the format carries no weights (reader fixes
+    1.0)."""
+    from graphanalytics_spark.sources import readers, writers
+
+    e = _graph_sparse(spark, sf_dir)
+    path = _writer_dir(sf_dir, "edges.bin")
+    writers.write_edge_list_binary(e, path)
+    # small chunk_edges so the sf0.01 graph exercises >1 byte-range task
+    return readers.read_edge_list_binary(spark, path, chunk_edges=1024)
+
+
+_BINARY_EDGE_ROUNDTRIP_SQL = (
+    f"WITH {_ES} SELECT src, dst, CAST(1.0 AS DOUBLE) AS weight FROM e"
+)
+
+
+def _compacted_links_parity(spark, sf_dir):
+    """Streaming-compaction gate (streaming/ingest.py:compact_link_deltas):
+    ingest the repos fixture as a 4-file stream in two runs with a real
+    offline compaction between them, then read base + live deltas — the
+    result must equal the one-shot batch extraction (the log-structured
+    table is an implementation detail, invisible to readers)."""
+    import os
+    import shutil
+
+    from graphanalytics_spark import fixtures
+    from graphanalytics_spark.streaming import ingest as si
+
+    root = _writer_dir(sf_dir, "compaction")
+    shutil.rmtree(root, ignore_errors=True)
+    src_dir = os.path.join(root, "stream_src")
+    delta_dir = os.path.join(root, "deltas")
+    ckpt = os.path.join(root, "ckpt")
+    os.makedirs(src_dir)
+    os.makedirs(delta_dir)
+    pdf = fixtures.generate_repos_pdf(n_repos=50)
+    quarter = len(pdf) // 4
+    slices = [pdf.iloc[i * quarter: (i + 1) * quarter if i < 3 else len(pdf)]
+              for i in range(4)]
+
+    def run_stream():
+        schema = spark.read.parquet(src_dir).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")  # one micro-batch per file
+            .parquet(src_dir)
+        )
+        q = si.incremental_link_ingest(stream, delta_dir, ckpt)
+        q.awaitTermination()
+
+    for i, sl in enumerate(slices[:2]):
+        sl.to_parquet(os.path.join(src_dir, f"repos-{i}.parquet"), index=False)
+    run_stream()
+    man = si.compact_link_deltas(spark, delta_dir)
+    assert man["version"] == 1 and man["folded"], "compaction did not fold"
+    for i, sl in enumerate(slices[2:], start=2):
+        sl.to_parquet(os.path.join(src_dir, f"repos-{i}.parquet"), index=False)
+    run_stream()
+    return si.read_link_table(spark, delta_dir)
+
+
+def _compacted_links_sql() -> str:
+    path = _ensure_repos_fixture()
+    return f"""WITH repos AS (SELECT * FROM read_parquet('{path}')),
+links AS (
+  SELECT repo AS src_repo, t.tgt AS dst_repo
+  FROM repos, unnest(regexp_extract_all(content, '(repo\\d{{5}})/[\\w/.\\-]*', 1)) AS t(tgt)
+  WHERE repo != t.tgt)
+SELECT src_repo, dst_repo, CAST(count(*) AS DOUBLE) AS weight
+FROM links GROUP BY 1, 2"""
+
+
 def _isolate_hubs(spark, sf_dir):
     """isolateVertex gate (GraphCSR::isolateVertex analog,
     /root/reference/mis/include/xilinxmis.hpp:86-106): remove the 5
@@ -1961,6 +2037,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new in r4 --
         "similar_vertices_topk": _similar_vertices_topk,
         "similar_vertices_cosine": _similar_vertices_cosine,
+        "binary_edge_roundtrip": _binary_edge_roundtrip,
+        "compacted_links_parity": _compacted_links_parity,
         # -- oracled in r2 but never driver-checked (VERDICT r2 #1) --
         "ann_lsh_topk": _ann_topk,
         "ann_probe_topk": _ann_probe_topk,
@@ -2125,4 +2203,6 @@ def oracle_sql() -> dict[str, str]:
         "vertex_following_map": _VERTEX_FOLLOWING_SQL,
         "similar_vertices_topk": _similar_vertices_sql("jaccard"),
         "similar_vertices_cosine": _similar_vertices_sql("cosine"),
+        "binary_edge_roundtrip": _BINARY_EDGE_ROUNDTRIP_SQL,
+        "compacted_links_parity": _compacted_links_sql(),
     }

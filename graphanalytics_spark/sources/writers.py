@@ -33,6 +33,56 @@ def write_edge_list(edges: DataFrame, path: str, weighted: bool = True) -> None:
     ).text(path)
 
 
+def write_edge_list_binary(edges: DataFrame, path: str) -> None:
+    """Fixed-width binary edge re-export — the sink twin of
+    ``readers.read_edge_list_binary`` (parse_EdgeListBinary analog):
+    little-endian int64 (src, dst), 16 bytes per record, record order not
+    part of the format.
+
+    Distributed: each partition streams its records into an executor-local
+    staging chunk (no sort — unordered records need no range partitioning,
+    unlike Metis lines), acks the chunk name, and the driver concatenates
+    acked chunks byte-for-byte with O(1) memory. Only acked names are
+    folded in, so a speculated/retried task's orphan chunk is ignored."""
+    import os
+    import shutil
+
+    import numpy as np
+    import pandas as pd
+
+    staging = path + ".staging"
+    shutil.rmtree(staging, ignore_errors=True)
+    os.makedirs(staging, exist_ok=True)
+
+    def dump(batches):
+        from pyspark import TaskContext
+
+        tc = TaskContext.get()
+        fname = f"chunk-{tc.partitionId():05d}-{tc.taskAttemptId()}.bin"
+        n = 0
+        with open(os.path.join(staging, fname), "wb") as f:
+            for pdf in batches:
+                if len(pdf):
+                    arr = np.empty((len(pdf), 2), dtype="<i8")
+                    arr[:, 0] = pdf["src"].to_numpy(dtype=np.int64)
+                    arr[:, 1] = pdf["dst"].to_numpy(dtype=np.int64)
+                    f.write(arr.tobytes())
+                    n += len(pdf)
+        if n == 0:
+            os.remove(os.path.join(staging, fname))
+            fname = None
+        yield pd.DataFrame({"name": [fname], "n": [n]})
+
+    acks = edges.select("src", "dst").mapInPandas(
+        dump, "name string, n long"
+    ).collect()
+    with open(path, "wb") as out:
+        for name in sorted(r["name"] for r in acks if r["name"] is not None):
+            with open(os.path.join(staging, name), "rb") as f:
+                shutil.copyfileobj(f, out)
+    shutil.rmtree(staging)
+
+
 def write_pajek(edges: DataFrame, path: str) -> None:
     """Pajek re-export (writeGraphPajekFormat analog): a header part-file
     plus 1-based edge lines. Distributed body; tiny driver-side header."""

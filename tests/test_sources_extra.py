@@ -133,3 +133,30 @@ def test_write_csr_binary_distributed_large(spark, tmp_path):
     exp_ci = sym["dst"].to_numpy().astype("<i4")
     assert np.array_equal(np.fromfile(rp, dtype="<i4"), exp_rp)
     assert np.array_equal(np.fromfile(ci, dtype="<i4"), exp_ci)
+
+
+def test_write_edge_list_binary_pair_roundtrip(spark, tmp_path):
+    """Writer+reader pair: multi-partition chunked binary write, byte-range
+    chunked read; unordered record set must survive exactly."""
+    rows = [(i, i + 1) for i in range(200)] + [(0, 199)]
+    ec = graph.canonicalize(fixtures.edges_df(spark, rows)).repartition(8)
+    p = str(tmp_path / "edges.bin")
+    writers.write_edge_list_binary(ec, p)
+    import os
+
+    assert os.path.getsize(p) == 201 * 16  # fixed-width contract
+    got = sorted(
+        (r.src, r.dst)
+        for r in readers.read_edge_list_binary(spark, p, chunk_edges=16).collect()
+    )
+    assert got == sorted((min(a, b), max(a, b)) for a, b in rows)
+
+
+def test_write_edge_list_binary_empty(spark, tmp_path):
+    e = spark.createDataFrame([], "src long, dst long, weight double")
+    p = str(tmp_path / "empty.bin")
+    writers.write_edge_list_binary(e, p)
+    import os
+
+    assert os.path.getsize(p) == 0
+    assert readers.read_edge_list_binary(spark, p).count() == 0
