@@ -1795,6 +1795,40 @@ SELECT src_repo, dst_repo, CAST(count(*) AS DOUBLE) AS weight
 FROM links GROUP BY 1, 2"""
 
 
+def _png_decode_stats(spark, sf_dir):
+    """Real (stdlib) PNG decode gate: planted seeded-pixel PNGs covering
+    all 4 channel counts and all 5 row filters; the engine inflates +
+    unfilters and hashes the RECONSTRUCTED pixels
+    (functions/multimodal.py:png_decode_stats)."""
+    from graphanalytics_spark.functions import multimodal
+
+    media = multimodal.synthetic_png_media(spark, n=12)
+    return multimodal.png_decode_stats(media)
+
+
+def _png_decode_sql() -> str:
+    """Expected stats computed from the SOURCE pixel arrays (never through
+    decode_image) — sha equality is a true encode→decode roundtrip gate."""
+    import hashlib as _hl
+
+    from graphanalytics_spark.functions.multimodal import _synthetic_pixels
+
+    vals = []
+    for i in range(12):
+        px = _synthetic_pixels(i)
+        h, w, c = px.shape
+        sha = _hl.sha256(px.tobytes()).hexdigest()
+        vals.append(
+            f"(CAST({i} AS BIGINT), CAST({w} AS BIGINT), CAST({h} AS BIGINT), "
+            f"CAST({c} AS BIGINT), '{sha}')"
+        )
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(vals)
+        + ") AS t(media_id, width, height, channels, pixel_sha256)"
+    )
+
+
 def _isolate_hubs(spark, sf_dir):
     """isolateVertex gate (GraphCSR::isolateVertex analog,
     /root/reference/mis/include/xilinxmis.hpp:86-106): remove the 5
@@ -2039,6 +2073,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similar_vertices_cosine": _similar_vertices_cosine,
         "binary_edge_roundtrip": _binary_edge_roundtrip,
         "compacted_links_parity": _compacted_links_parity,
+        "png_decode_stats": _png_decode_stats,
         # -- oracled in r2 but never driver-checked (VERDICT r2 #1) --
         "ann_lsh_topk": _ann_topk,
         "ann_probe_topk": _ann_probe_topk,
@@ -2205,4 +2240,5 @@ def oracle_sql() -> dict[str, str]:
         "similar_vertices_cosine": _similar_vertices_sql("cosine"),
         "binary_edge_roundtrip": _BINARY_EDGE_ROUNDTRIP_SQL,
         "compacted_links_parity": _compacted_links_sql(),
+        "png_decode_stats": _png_decode_sql(),
     }

@@ -2,9 +2,10 @@
 
 Images/audio/video are opaque ``binary`` columns with typed metadata
 structs. The Spark-side plumbing — schema, partitioning, Arrow batch shape,
-UDF signatures — is real and tested; the actual codec step is stubbed
-behind ``DecodeUnavailable`` / a deterministic fake because no
-image/audio libraries exist in this container (clearly marked below).
+UDF signatures — is real and tested. PNG decode is REAL (stdlib zlib
+inflate + filter reversal, see ``decode_image``); JPEG/audio/video codecs
+remain stubbed behind ``DecodeUnavailable`` because no codec libraries
+exist in this container (clearly marked below).
 
 At 100 TB the pattern is: store payloads in their own parquet column chunk
 (never project them unless needed — column pruning keeps metadata-only
@@ -127,9 +128,249 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     )
 
 
-def decode_image(payload: bytes):
-    """STUB: real image decode is unavailable in this container."""
-    raise DecodeUnavailable(
-        "image decode requires PIL/opencv — not installed; "
-        "use extract_features (deterministic fake) for plumbing tests"
+# --- real PNG codec (stdlib-only: struct + zlib) -------------------------
+#
+# PNG is the one raster format decodable without external libraries: a
+# zlib-inflated byte stream with 5 per-row predictive filters (PNG spec
+# §6, RFC 2083). This de-stubs ``decode_image`` for image/png payloads;
+# JPEG and audio still raise DecodeUnavailable (container has no codecs).
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# samples per pixel by PNG color type (8-bit depth)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _unfilter_row(ft: int, cur: list[int], prev: list[int], bpp: int) -> list[int]:
+    n = len(cur)
+    if ft == 0:
+        return list(cur)
+    if ft == 2:  # Up
+        return [(cur[x] + prev[x]) & 0xFF for x in range(n)]
+    out = [0] * n
+    if ft == 1:  # Sub
+        for x in range(n):
+            left = out[x - bpp] if x >= bpp else 0
+            out[x] = (cur[x] + left) & 0xFF
+    elif ft == 3:  # Average
+        for x in range(n):
+            left = out[x - bpp] if x >= bpp else 0
+            out[x] = (cur[x] + ((left + prev[x]) >> 1)) & 0xFF
+    elif ft == 4:  # Paeth
+        for x in range(n):
+            a = out[x - bpp] if x >= bpp else 0
+            c = prev[x - bpp] if x >= bpp else 0
+            out[x] = (cur[x] + _paeth(a, prev[x], c)) & 0xFF
+    else:
+        raise DecodeUnavailable(f"PNG: unknown filter type {ft}")
+    return out
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Decode an image payload to an (H, W, C) uint8 array.
+
+    REAL for PNG (stdlib zlib inflate + filter reversal; 8-bit depth,
+    color types 0/2/3/4/6, non-interlaced; palette expands to RGB).
+    Anything else — JPEG, 16-bit or interlaced PNG — raises
+    ``DecodeUnavailable`` (no codec libraries in this container)."""
+    import struct
+    import zlib
+
+    if not isinstance(payload, (bytes, bytearray)) or not bytes(payload).startswith(
+        _PNG_SIG
+    ):
+        raise DecodeUnavailable(
+            "decode_image supports PNG only (stdlib path); other formats "
+            "require PIL/opencv — not installed"
+        )
+    buf = bytes(payload)
+    pos = len(_PNG_SIG)
+    ihdr = None
+    palette = None
+    idat = bytearray()
+    while pos + 8 <= len(buf):
+        (length,) = struct.unpack(">I", buf[pos: pos + 4])
+        ctype = buf[pos + 4: pos + 8]
+        data = buf[pos + 8: pos + 8 + length]
+        (crc,) = struct.unpack(">I", buf[pos + 8 + length: pos + 12 + length])
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise DecodeUnavailable(f"PNG: bad CRC in {ctype!r} chunk")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            palette = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None:
+        raise DecodeUnavailable("PNG: missing IHDR")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+        raise DecodeUnavailable(
+            f"PNG: unsupported header (depth={depth}, interlace={interlace})"
+        )
+    if color not in _PNG_CHANNELS:
+        raise DecodeUnavailable(f"PNG: unsupported color type {color}")
+    bpp = _PNG_CHANNELS[color]
+    raw = zlib.decompress(bytes(idat))
+    stride = w * bpp
+    if len(raw) != h * (stride + 1):
+        raise DecodeUnavailable("PNG: IDAT size does not match dimensions")
+    rows = []
+    prev = [0] * stride
+    for y in range(h):
+        off = y * (stride + 1)
+        ft = raw[off]
+        cur = list(raw[off + 1: off + 1 + stride])
+        prev = _unfilter_row(ft, cur, prev, bpp)
+        rows.append(prev)
+    px = np.array(rows, dtype=np.uint8).reshape(h, w, bpp)
+    if color == 3:
+        if palette is None:
+            raise DecodeUnavailable("PNG: palette image without PLTE")
+        px = palette[px[:, :, 0]]
+    return px
+
+
+def encode_png(pixels: np.ndarray, filter_type: int = 0) -> bytes:
+    """Minimal PNG encoder — the deterministic fixture generator for the
+    decode gate (8-bit gray/gray+alpha/RGB/RGBA; one IDAT; every row
+    filtered with ``filter_type`` so tests can exercise each of the five
+    reversal paths)."""
+    import struct
+    import zlib
+
+    arr = np.asarray(pixels, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, ch = arr.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    bpp = ch
+    raw = bytearray()
+    prev = [0] * (w * ch)
+    for y in range(h):
+        row = [int(v) for v in arr[y].reshape(-1)]
+        if filter_type == 0:
+            filtered = row
+        elif filter_type == 1:
+            filtered = [
+                (row[x] - (row[x - bpp] if x >= bpp else 0)) & 0xFF
+                for x in range(len(row))
+            ]
+        elif filter_type == 2:
+            filtered = [(row[x] - prev[x]) & 0xFF for x in range(len(row))]
+        elif filter_type == 3:
+            filtered = [
+                (row[x] - (((row[x - bpp] if x >= bpp else 0) + prev[x]) >> 1))
+                & 0xFF
+                for x in range(len(row))
+            ]
+        elif filter_type == 4:
+            filtered = [
+                (
+                    row[x]
+                    - _paeth(
+                        row[x - bpp] if x >= bpp else 0,
+                        prev[x],
+                        prev[x - bpp] if x >= bpp else 0,
+                    )
+                )
+                & 0xFF
+                for x in range(len(row))
+            ]
+        else:
+            raise ValueError(f"filter_type must be 0-4, got {filter_type}")
+        raw.append(filter_type)
+        raw += bytes(filtered)
+        prev = row
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def synthetic_png_media(spark: SparkSession, n: int = 12, seed: int = 7) -> DataFrame:
+    """Deterministic planted-PNG media table: seeded pixel patterns encoded
+    with rotating channel counts and filter types — the input to the
+    ``png_decode_stats`` roundtrip gate."""
+    rows = []
+    for i in range(n):
+        px = _synthetic_pixels(i, seed)
+        rows.append(
+            (
+                i,
+                "image",
+                "image/png",
+                encode_png(px, filter_type=i % 5),
+                int(px.shape[1]),
+                int(px.shape[0]),
+                None,
+            )
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def _synthetic_pixels(i: int, seed: int = 7) -> np.ndarray:
+    """Seeded deterministic pixel array for fixture ``i`` (shared by the
+    Spark fixture and the oracle's expected-stats computation)."""
+    rng = np.random.default_rng(seed * 1000 + i)
+    h = int(rng.integers(8, 40))
+    w = int(rng.integers(8, 40))
+    ch = [1, 2, 3, 4][i % 4]
+    return rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8).reshape(h, w, ch)
+
+
+def png_decode_stats(media: DataFrame) -> DataFrame:
+    """REAL decode gate: inflate + unfilter every image/png payload inside
+    mapInPandas Arrow batches and emit (media_id, width, height, channels,
+    pixel_sha256) — the sha over the RECONSTRUCTED pixel bytes, so any
+    filter-reversal bug changes the hash."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mids, ws, hs, cs, shas = [], [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                px = decode_image(bytes(payload))
+                mids.append(int(mid))
+                hs.append(px.shape[0])
+                ws.append(px.shape[1])
+                cs.append(px.shape[2])
+                shas.append(hashlib.sha256(px.tobytes()).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(mids, dtype="int64"),
+                    "width": pd.Series(ws, dtype="int64"),
+                    "height": pd.Series(hs, dtype="int64"),
+                    "channels": pd.Series(cs, dtype="int64"),
+                    "pixel_sha256": shas,
+                }
+            )
+
+    return media.filter(F.col("mime") == "image/png").select(
+        "media_id", "payload"
+    ).mapInPandas(
+        stats,
+        schema="media_id long, width long, height long, channels long, "
+        "pixel_sha256 string",
     )

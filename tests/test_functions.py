@@ -255,3 +255,67 @@ def test_simhash_and_jaccard_hot_key_guards(spark):
     # and exact dedup reduces the same corpus to ONE keeper
     d = dedup.exact_dedup(spark, docs).collect()
     assert len(d) == 1 and d[0].n_dupes == 120
+
+
+def test_png_codec_roundtrip_all_filters():
+    """encode_png -> decode_image reproduces source pixels for every
+    channel count x every PNG row filter (the 5 unfilter paths)."""
+    import numpy as np
+
+    for i in range(4):
+        px = multimodal._synthetic_pixels(i)
+        for ft in range(5):
+            back = multimodal.decode_image(multimodal.encode_png(px, filter_type=ft))
+            assert back.shape == px.shape
+            assert np.array_equal(back, px), (i, ft)
+
+
+def test_png_palette_and_unsupported():
+    import struct
+    import zlib
+
+    import numpy as np
+
+    pal = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255]], dtype=np.uint8)
+    idx = np.array([[0, 1, 2], [2, 1, 0]], dtype=np.uint8)
+
+    def chunk(t, d):
+        return (
+            struct.pack(">I", len(d)) + t + d
+            + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+        )
+
+    raw = b"".join(bytes([0]) + idx[y].tobytes() for y in range(2))
+    png = (
+        multimodal._PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 2, 8, 3, 0, 0, 0))
+        + chunk(b"PLTE", pal.tobytes())
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    out = multimodal.decode_image(png)
+    assert out.shape == (2, 3, 3) and tuple(out[0, 0]) == (255, 0, 0)
+    import pytest as _pt
+
+    with _pt.raises(multimodal.DecodeUnavailable):
+        multimodal.decode_image(b"\xff\xd8\xff\xe0 jpeg bytes")
+    # corrupted CRC must be rejected, not mis-decoded
+    bad = bytearray(multimodal.encode_png(idx))
+    bad[-5] ^= 0xFF
+    with _pt.raises(multimodal.DecodeUnavailable):
+        multimodal.decode_image(bytes(bad))
+
+
+def test_png_decode_stats_distributed(spark):
+    """The mapInPandas decode path: planted PNGs in, per-image pixel shas
+    out, matching shas computed directly from the source pixels."""
+    import hashlib
+
+    media = multimodal.synthetic_png_media(spark, n=8)
+    got = {r.media_id: r for r in multimodal.png_decode_stats(media).collect()}
+    assert len(got) == 8
+    for i in range(8):
+        px = multimodal._synthetic_pixels(i)
+        r = got[i]
+        assert (r.height, r.width, r.channels) == px.shape
+        assert r.pixel_sha256 == hashlib.sha256(px.tobytes()).hexdigest()
