@@ -1701,6 +1701,9 @@ def _metis_roundtrip(spark, sf_dir):
     return readers.read_metis(spark, path)
 
 
+# Intentional alias: Metis adjacency and CSR binaries carry the same
+# information (symmetrized weight-1 pair set), so both roundtrips share one
+# oracle. If the CSR oracle ever changes shape, split this alias first.
 _METIS_ROUNDTRIP_SQL = _CSR_ROUNDTRIP_SQL
 
 
@@ -2024,14 +2027,6 @@ SELECT k.doc_id, k.lang_pred, k.quality
 FROM kept2 k LEFT JOIN dropd USING (doc_id) WHERE dropd.doc_id IS NULL"""
 
 
-# --- non-SQL-expressible (rows-only check; pytest oracles in tests/) ---
-
-def _pagerank_converged(spark, sf_dir):
-    return pagerank.pagerank(
-        spark, graph.symmetrize(_graph_full(spark, sf_dir)), tol=1e-6, max_iter=60
-    ).select("vid", F.round("rank", 9).alias("rank"))
-
-
 def _pagerank_converged_cert(spark, sf_dir):
     """Convergence certificate for the tolerance-driven run (the run the
     north rule's metric is defined over) as a 1-row invariant table, the
@@ -2062,11 +2057,16 @@ _PAGERANK_CERT_SQL = "SELECT 1.0 AS rank_sum, TRUE AS converged"
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver records correctness rows for the FIRST
-    # 50 dict entries per round. Entries with the least accumulated driver
-    # evidence lead (the r2-oracled-but-never-checked scale-path queries +
-    # this round's new operators); rows already green in CORRECTNESS_r02
-    # with redundant shapes (TPC-H joins/aggs, event windows) sit in the
-    # tail — their r2 artifact rows remain the evidence of record.
+    # 50 dict entries per round; coverage is cumulative across rounds.
+    # Rotation policy (r3 verdict #2/#8): entries with the least
+    # accumulated driver evidence lead — this round's new operators, the
+    # last never-driver-checked oracled entries, then everything whose
+    # only green row is a single round (r3-only, r2-only) so the artifact
+    # union converges toward >=2 green rounds per entry. Shapes already
+    # green in >=2 artifacts (TPC-H joins/aggs, doc/text family, event
+    # windows) sit in the tail — their prior rows remain the evidence of
+    # record. pagerank_converged was dropped: pagerank_converged_cert
+    # supersedes it with an invariant gate (r3 verdict "wrong" #2).
     return {
         # -- new in r4 --
         "similar_vertices_topk": _similar_vertices_topk,
@@ -2074,7 +2074,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "binary_edge_roundtrip": _binary_edge_roundtrip,
         "compacted_links_parity": _compacted_links_parity,
         "png_decode_stats": _png_decode_stats,
-        # -- oracled in r2 but never driver-checked (VERDICT r2 #1) --
+        # -- oracled since r2 but never yet inside a 50-row window --
+        "isolate_hubs": _isolate_hubs,
+        "subgraph_range_q": _subgraph_range_q,
+        "vertex_following_map": _vertex_following_map,
+        # -- exactly one green round (r3) --
         "ann_lsh_topk": _ann_topk,
         "ann_probe_topk": _ann_probe_topk,
         "knn_join_lsh": _knn_join,
@@ -2083,10 +2087,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_clean": _corpus_clean,
         "ingest_edges": _ingest_edges,
         "repo_pagerank": _repo_pagerank,
-        # convergence certificate for the tolerance-driven run (upgrades
-        # the rows-only pagerank_converged to an invariant-gated row)
         "pagerank_converged_cert": _pagerank_converged_cert,
-        # -- new this round --
         "nhop_pairs": _nhop_pairs,
         "louvain_islands_q": _louvain_islands_q,
         "read_metis_fixture": _read_metis_fixture,
@@ -2096,15 +2097,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "voltage_communities": _voltage_communities,
         "metis_roundtrip": _metis_roundtrip,
         "edge_list_roundtrip": _edge_list_roundtrip,
-        # csr_roundtrip kept in-window: it now exercises the NEW
-        # distributed chunked binary reader
         "csr_roundtrip": _csr_roundtrip,
         "bipartite_stats": _bipartite_stats,
-        # -- representative green coverage of every operator family --
+        # -- exactly one green round (r2) --
+        "multimodal_payload_stats": _multimodal_payload_stats,
+        "frame_sample_plan": _frame_sample_plan,
+        "simhash_near_pairs": _simhash_near,
+        "read_mtx_fixture": _read_mtx_fixture,
+        "read_snap_fixture": _read_snap_fixture,
+        "read_dimacs9_fixture": _read_dimacs9_fixture,
+        "pajek_roundtrip": _pajek_roundtrip,
+        # -- multi-green core graph family (kept in-window as the
+        #    per-round regression baseline for the headline operators) --
         "copurchase_edges": _copurchase_edges,
-        "vertex_degrees": _vertex_degrees,
-        "degree_stats": _degree_stats,
-        "degree_histogram": _degree_histogram,
         "triangle_count": _triangle_count,
         "triangles_per_vertex": _triangles_per_vertex,
         "pagerank_5iter": _pagerank_5iter,
@@ -2119,6 +2124,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lpa_2iter": _lpa_2iter,
         "mis_verified": _mis_verified,
         "louvain_q": _louvain_q,
+        # ---- 50-row window boundary ----
+        # green in >=2 prior artifacts (evidence of record stands)
+        "vertex_degrees": _vertex_degrees,
+        "degree_stats": _degree_stats,
+        "degree_histogram": _degree_histogram,
         "doc_exact_dedup": _doc_exact_dedup,
         "doc_token_stats": _doc_token_stats,
         "doc_quality": _doc_quality,
@@ -2131,21 +2141,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_match": _fuzzy_match,
         "cosine_topk": _cosine_topk,
         "cosine_topk_batch": _cosine_topk_batch,
-        # ---- 50-row window boundary ----
-        # green in CORRECTNESS_r02 (artifact of record) or oracled and
-        # staged for a future round's window rotation
         "token_docfreq": _token_docfreq,
         "embedding_norms": _embedding_norms,
-        "multimodal_payload_stats": _multimodal_payload_stats,
-        "simhash_near_pairs": _simhash_near,
-        "frame_sample_plan": _frame_sample_plan,
-        "isolate_hubs": _isolate_hubs,
-        "subgraph_range_q": _subgraph_range_q,
-        "vertex_following_map": _vertex_following_map,
-        "read_mtx_fixture": _read_mtx_fixture,
-        "read_snap_fixture": _read_snap_fixture,
-        "read_dimacs9_fixture": _read_dimacs9_fixture,
-        "pajek_roundtrip": _pajek_roundtrip,
         "q1_pricing_summary": _q1,
         "q3_top_orders": _q3,
         "top_parts_by_brand": _top_parts_by_brand,
@@ -2156,9 +2153,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_by_segment": _events_by_segment,
         "events_topk_hourly": _events_topk_hourly,
         "event_sessions": _event_sessions,
-        # rows-only (convergence-dependent; gated by pagerank_5iter's
-        # oracle + pytest 1e-6 numpy oracle)
-        "pagerank_converged": _pagerank_converged,
     }
 
 

@@ -2,19 +2,32 @@
 local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
 {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
+Methodology (r3 verdict #1): this sandbox's single-shot walls swing 2-5x
+between identical runs, so every headline query is timed THREE times and
+the artifact carries the per-query MEDIAN (in ``queries`` — the canonical
+round-over-round number) plus the MIN (``queries_min``, the contention
+floor) and the raw runs (``queries_runs``). ``value`` is the sum of
+medians.
+
 Headline metric: edges-traversed/sec during converged PageRank (Σ over
 iterations of symmetrized edge count / PR wall time) — BASELINE.json's
-authoritative throughput number — plus per-query wall times.
+authoritative throughput number. Two scale rows run once each (work
+dominates scheduling there, so single walls are meaningful):
+``pagerank_20iter_x24`` (the ×24 replicated graph, ~28.7 M edges) and
+``louvain`` (multi-phase on the sparse graph with per-phase metrics).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 
 
 def main():
@@ -25,101 +38,216 @@ def main():
 
     from graphanalytics_spark import graph
     from graphanalytics_spark.functions import dedup, similarity
-    from graphanalytics_spark.operators import components, labelprop, pagerank, triangles
+    from graphanalytics_spark.operators import (
+        components,
+        labelprop,
+        louvain as louvain_mod,
+        pagerank,
+        triangles,
+    )
     from graphanalytics_spark.session import get_spark
 
     spark = get_spark(app_name="ga-bench", cpus=cpus, shuffle_partitions=cpus)
     lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
 
-    timings: dict[str, float] = {}
-    t0 = time.monotonic()
+    runs: dict[str, list[float]] = {}
+
+    def bench(name: str, fn, n: int = N_RUNS) -> None:
+        walls = []
+        for _ in range(n):
+            t0 = time.monotonic()
+            fn()
+            walls.append(time.monotonic() - t0)
+        runs[name] = [round(w, 3) for w in walls]
+
+    # warm the parquet scan + derivation JIT once, outside any timing
+    lineitem.count()
+    bench("edge_derivation", lambda: graph.copurchase_edges(lineitem).count())
+
     edges = graph.copurchase_edges(lineitem).persist()
     n_edges = edges.count()
-    timings["edge_derivation"] = time.monotonic() - t0
-
     sym = graph.symmetrize(edges)
 
-    # headline: converged PageRank throughput
+    # headline: converged PageRank throughput (deterministic iteration
+    # count — metrics captured on run 1, walls 3x total)
     m = pagerank.IterationMetrics()
     t0 = time.monotonic()
-    ranks = pagerank.pagerank(spark, sym, tol=1e-6, max_iter=60, metrics=m)
-    ranks.agg(F.sum("rank")).collect()
-    pr_wall = time.monotonic() - t0
-    timings["pagerank"] = pr_wall
+    pagerank.pagerank(spark, sym, tol=1e-6, max_iter=60, metrics=m).agg(
+        F.sum("rank")
+    ).collect()
+    w_pr_first = time.monotonic() - t0
+    bench(
+        "pagerank",
+        lambda: pagerank.pagerank(spark, sym, tol=1e-6, max_iter=60)
+        .agg(F.sum("rank"))
+        .collect(),
+        n=max(N_RUNS - 1, 1),
+    )
+    runs["pagerank"] = [round(w_pr_first, 3)] + runs["pagerank"]
     edges_traversed = m.total_edges_traversed
-    eps = edges_traversed / pr_wall if pr_wall > 0 else 0.0
 
     # steady-state throughput: fixed 20 gather-scatter iterations (immune
     # to how fast this particular graph converges; the static link side is
     # cached, so this measures the per-iteration join+agg pipeline)
     m20 = pagerank.IterationMetrics()
     t0 = time.monotonic()
-    r20 = pagerank.pagerank(spark, sym, tol=0.0, max_iter=20, metrics=m20)
-    r20.agg(F.sum("rank")).collect()
-    pr20_wall = time.monotonic() - t0
-    timings["pagerank_20iter"] = pr20_wall
-    eps20 = m20.total_edges_traversed / pr20_wall if pr20_wall > 0 else 0.0
-    # variance probe: this sandbox shows 2-5x wall swings between identical
-    # runs (BENCH/BASELINE.md); a second identical 20-iter run is recorded
-    # SEPARATELY (headline methodology unchanged — `queries` keeps run 1)
-    # so round-over-round comparisons can be read against observed noise
-    t0 = time.monotonic()
-    pagerank.pagerank(spark, sym, tol=0.0, max_iter=20).agg(F.sum("rank")).collect()
-    pr20_wall_run2 = time.monotonic() - t0
+    pagerank.pagerank(spark, sym, tol=0.0, max_iter=20, metrics=m20).agg(
+        F.sum("rank")
+    ).collect()
+    w20_first = time.monotonic() - t0
+    bench(
+        "pagerank_20iter",
+        lambda: pagerank.pagerank(spark, sym, tol=0.0, max_iter=20)
+        .agg(F.sum("rank"))
+        .collect(),
+        n=max(N_RUNS - 1, 1),
+    )
+    runs["pagerank_20iter"] = [round(w20_first, 3)] + runs["pagerank_20iter"]
 
     sparse = edges.filter(F.col("weight") >= 2)
 
-    t0 = time.monotonic()
-    components.connected_components(spark, sparse).select(
-        F.countDistinct("component")
-    ).collect()
-    timings["connected_components"] = time.monotonic() - t0
+    bench(
+        "connected_components",
+        lambda: components.connected_components(spark, sparse)
+        .select(F.countDistinct("component"))
+        .collect(),
+    )
 
-    t0 = time.monotonic()
-    n_tri = triangles.triangle_count(spark, edges).first()[0]
-    timings["triangle_count"] = time.monotonic() - t0
+    n_tri_box = []
+    bench(
+        "triangle_count",
+        lambda: n_tri_box.append(triangles.triangle_count(spark, edges).first()[0]),
+    )
+    n_tri = n_tri_box[-1]
 
-    t0 = time.monotonic()
-    labelprop.label_propagation(spark, sparse, max_iter=10).select(
-        F.countDistinct("label")
-    ).collect()
-    timings["label_propagation"] = time.monotonic() - t0
+    bench(
+        "label_propagation",
+        lambda: labelprop.label_propagation(spark, sparse, max_iter=10)
+        .select(F.countDistinct("label"))
+        .collect(),
+    )
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    t0 = time.monotonic()
-    dedup.minhash_lsh_pairs(spark, docs, num_perm=16, bands=4).count()
-    timings["minhash_lsh"] = time.monotonic() - t0
+    bench(
+        "minhash_lsh",
+        lambda: dedup.minhash_lsh_pairs(spark, docs, num_perm=16, bands=4).count(),
+    )
 
     from graphanalytics_spark.functions.pipeline import corpus_clean
 
-    t0 = time.monotonic()
-    corpus_clean(spark, docs, lang="en", min_quality=0.88).count()
-    timings["corpus_clean"] = time.monotonic() - t0
+    bench(
+        "corpus_clean",
+        lambda: corpus_clean(spark, docs, lang="en", min_quality=0.88).count(),
+    )
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     target = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
-    t0 = time.monotonic()
-    similarity.cosine_topk(spark, emb, target, k=20).collect()
-    timings["cosine_topk"] = time.monotonic() - t0
+    bench(
+        "cosine_topk",
+        lambda: similarity.cosine_topk(spark, emb, target, k=20).collect(),
+    )
 
-    t0 = time.monotonic()
-    similarity.knn_join_lsh(spark, emb, emb, k=3, exclude_self=True).count()
-    timings["knn_join_lsh"] = time.monotonic() - t0
+    bench(
+        "knn_join_lsh",
+        lambda: similarity.knn_join_lsh(
+            spark, emb, emb, k=3, exclude_self=True
+        ).count(),
+    )
 
-    total = sum(timings.values())
+    # --- scale rows (single runs; work dominates the scheduling floor) ---
+
+    # Louvain at real size: multi-phase on the sparse graph, per-phase
+    # (Q, NV, NE, rounds, wall) so phase-loop economics (geometric shrink,
+    # contraction cost) are measured, not argued (r3 verdict #4)
+    lv_metrics: list[dict] = []
+    t0 = time.monotonic()
+    louvain_mod.louvain(
+        spark, sparse, max_phases=10, max_rounds_per_phase=20, metrics=lv_metrics
+    ).count()
+    louvain_wall = time.monotonic() - t0
+    louvain_row = {
+        "wall_sec": round(louvain_wall, 3),
+        "final_q": round(lv_metrics[-1]["Q"], 6) if lv_metrics else None,
+        "phases": [
+            {
+                "phase": p["phase"],
+                "Q": round(p["Q"], 6),
+                "n_vertices": p["n_vertices"],
+                "n_edges": p["n_edges"],
+                "rounds": p["rounds"],
+                "wall_s": round(p["wall_s"], 3),
+            }
+            for p in lv_metrics
+        ],
+    }
+
+    # fixed-20 PageRank on the ×24 replicated graph (~24x edges): measures
+    # per-iteration throughput where per-task work dominates (r3 verdict
+    # #6). Same deterministic replication as tools/bench_scaling.py: K
+    # offset copies chained by one cross-edge per adjacent copy.
+    replicate = int(os.environ.get("SPARK_GRAFT_BENCH_REPLICATE", "24"))
+    n_vid = edges.select(F.greatest(F.max("src"), F.max("dst"))).first()[0] + 1
+    copies = [
+        edges.select(
+            (F.col("src") + k * n_vid).alias("src"),
+            (F.col("dst") + k * n_vid).alias("dst"),
+            "weight",
+        )
+        for k in range(replicate)
+    ]
+    big = copies[0]
+    for c in copies[1:]:
+        big = big.union(c)
+    if replicate > 1:
+        cross = spark.createDataFrame(
+            [(k * n_vid, (k + 1) * n_vid, 1.0) for k in range(replicate - 1)],
+            "src long, dst long, weight double",
+        )
+        big = big.union(cross)
+    big_sym = graph.symmetrize(big).persist()
+    n_big = big_sym.count()  # materialize outside the measurement
+    mx = pagerank.IterationMetrics()
+    t0 = time.monotonic()
+    pagerank.pagerank(spark, big_sym, tol=0.0, max_iter=20, metrics=mx).agg(
+        F.sum("rank")
+    ).collect()
+    x24_wall = time.monotonic() - t0
+    big_sym.unpersist()
+    x24_row = {
+        "wall_sec": round(x24_wall, 3),
+        "n_edges_sym": n_big,
+        "edges_traversed": mx.total_edges_traversed,
+        "edges_traversed_per_sec": round(mx.total_edges_traversed / x24_wall, 1)
+        if x24_wall > 0
+        else 0.0,
+        "replicate": replicate,
+    }
+
+    med = {k: round(statistics.median(v), 3) for k, v in runs.items()}
+    mins = {k: round(min(v), 3) for k, v in runs.items()}
+    total = sum(med.values())
+    pr_med = med["pagerank"]
+    pr20_med = med["pagerank_20iter"]
     result = {
-        "metric": "headline_queries_wall",
+        "metric": "headline_queries_wall_median_of_3",
         "value": round(total, 3),
         "unit": "sec",
-        "queries": {k: round(v, 3) for k, v in timings.items()},
-        "pagerank_edges_traversed_per_sec": round(eps, 1),
-        "pagerank20_edges_traversed_per_sec": round(eps20, 1),
-        "pagerank_20iter_run2_sec": round(pr20_wall_run2, 3),
-        "pagerank20_run2_edges_traversed_per_sec": round(
-            m20.total_edges_traversed / pr20_wall_run2, 1
-        )
-        if pr20_wall_run2 > 0
+        "queries": med,
+        "queries_min": mins,
+        "queries_runs": runs,
+        "pagerank_edges_traversed_per_sec": round(edges_traversed / pr_med, 1)
+        if pr_med > 0
         else 0.0,
+        "pagerank20_edges_traversed_per_sec": round(
+            m20.total_edges_traversed / pr20_med, 1
+        )
+        if pr20_med > 0
+        else 0.0,
+        "pagerank_20iter_run2_sec": runs["pagerank_20iter"][1]
+        if len(runs["pagerank_20iter"]) > 1
+        else None,
+        "louvain": louvain_row,
+        "pagerank_20iter_x24": x24_row,
         "sf": sf_dir,
         "cpus": cpus,
         "n_edges": n_edges,
