@@ -122,3 +122,16 @@ def test_nhop_pairs_is_equijoin(spark):
     plan = _plan(nhop.n_hop_pairs(spark, ec, pairs, hops=2))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_similar_vertices_is_bucket_equijoin(spark):
+    """The common-neighbor generator is a neighbor-keyed equi-join (never a
+    cross product) and the hub cap compiles to a semi-join, exactly like
+    bipartite_project's guard."""
+    ec = graph.canonicalize(
+        spark.createDataFrame([(0, 1, 1.0), (1, 2, 1.0)], "src long, dst long, weight double")
+    )
+    plan = _plan(graph.similar_vertices(ec, k=3, max_degree=10))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftSemi" in plan  # hub cap applied join-side
