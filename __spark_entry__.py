@@ -1798,6 +1798,85 @@ SELECT src_repo, dst_repo, CAST(count(*) AS DOUBLE) AS weight
 FROM links GROUP BY 1, 2"""
 
 
+def _bfs_levels_q(spark, sf_dir):
+    """BFS hop levels from the minimum vid of the sparse graph — the
+    frontier-loop core of the reference's BFS-order partitioner
+    (operators/bfs.py:bfs_levels; /root/reference/louvainmod/src/
+    ParLV.cpp:3910 xai_save_partition_bfs). max_depth=64 matches the
+    oracle's recursion bound."""
+    from graphanalytics_spark.operators import bfs
+
+    lv = bfs.bfs_levels(spark, _graph_sparse(spark, sf_dir), max_depth=64)
+    return lv.select("vid", F.col("level").cast("long").alias("level"))
+
+
+_BFS_LEVELS_SQL = f"""WITH RECURSIVE {_ES},
+sym AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+seed AS (SELECT min(src) AS v FROM sym),
+walk(vid, level) AS (
+  SELECT v, 0 FROM seed
+  UNION
+  SELECT s.dst, w.level + 1 FROM walk w JOIN sym s ON s.src = w.vid
+  WHERE w.level < 64
+)
+SELECT vid, CAST(min(level) AS BIGINT) AS level FROM walk GROUP BY vid"""
+
+
+def _planted_clique_path(spark, n_cliques: int = 8, size: int = 12):
+    """Path of cliques chained by single bridge edges — BFS visit order
+    aligns exactly with the cliques, so the planted cut is just the
+    bridges (known by construction, the louvain_islands technique)."""
+    rows = []
+    for k in range(n_cliques):
+        base = size * k
+        rows += [
+            (base + i, base + j, 1.0)
+            for i in range(size)
+            for j in range(i + 1, size)
+        ]
+        if k:
+            rows.append((base - 1, base, 1.0))
+    return graph.canonicalize(
+        spark.createDataFrame(rows, "src long, dst long, weight double")
+    )
+
+
+def _bfs_partition_cut(spark, sf_dir):
+    """Locality certificate for BFS-order partitioning: on the planted
+    8×12 clique path, chunked BFS order cuts exactly the 7 bridge edges
+    (ranks align with cliques) while vid%8 hash partitioning cuts 503 of
+    535 — the 'low-bandwidth' property xai_save_partition_bfs exists for,
+    earned by the real distributed pipeline (CC seeds → BFS → dense-rank
+    chunking → edge-cut join)."""
+    from graphanalytics_spark.operators import bfs
+
+    ec = _planted_clique_path(spark)
+    assign = bfs.bfs_partition(spark, ec, n_parts=8)
+    cut_bfs = bfs.edge_cut(ec, assign).select(
+        "n_edges", F.col("n_cut").alias("bfs_cut")
+    )
+    hash_assign = graph.vertices(ec).select(
+        "vid", (F.col("vid") % 8).alias("part")
+    )
+    cut_hash = bfs.edge_cut(ec, hash_assign).select(
+        F.col("n_cut").alias("hash_cut")
+    )
+    return cut_bfs.crossJoin(cut_hash).select(
+        "n_edges",
+        "bfs_cut",
+        "hash_cut",
+        (F.col("bfs_cut") * 4 < F.col("hash_cut")).alias("locality_ok"),
+    )
+
+
+# planted-by-construction constants: 8*C(12,2)+7 = 535 edges; BFS chunks
+# align with cliques so only the 7 bridges cross; vid%8 keeps only the 4
+# stride-8 pairs per clique intact (66-4=62 cut each) + all 7 bridges
+_BFS_PARTITION_CUT_SQL = """SELECT CAST(535 AS BIGINT) AS n_edges,
+  CAST(7 AS BIGINT) AS bfs_cut, CAST(503 AS BIGINT) AS hash_cut,
+  true AS locality_ok"""
+
+
 def _png_decode_stats(spark, sf_dir):
     """Real (stdlib) PNG decode gate: planted seeded-pixel PNGs covering
     all 4 channel counts and all 5 row filters; the engine inflates +
@@ -2074,6 +2153,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "binary_edge_roundtrip": _binary_edge_roundtrip,
         "compacted_links_parity": _compacted_links_parity,
         "png_decode_stats": _png_decode_stats,
+        "bfs_levels_q": _bfs_levels_q,
+        "bfs_partition_cut": _bfs_partition_cut,
         # -- oracled since r2 but never yet inside a 50-row window --
         "isolate_hubs": _isolate_hubs,
         "subgraph_range_q": _subgraph_range_q,
@@ -2122,10 +2203,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nhop_2": _nhop_2,
         "khop_subgraph": _khop_subgraph,
         "lpa_2iter": _lpa_2iter,
-        "mis_verified": _mis_verified,
-        "louvain_q": _louvain_q,
         # ---- 50-row window boundary ----
         # green in >=2 prior artifacts (evidence of record stands)
+        "mis_verified": _mis_verified,
+        "louvain_q": _louvain_q,
         "vertex_degrees": _vertex_degrees,
         "degree_stats": _degree_stats,
         "degree_histogram": _degree_histogram,
@@ -2235,4 +2316,6 @@ def oracle_sql() -> dict[str, str]:
         "binary_edge_roundtrip": _BINARY_EDGE_ROUNDTRIP_SQL,
         "compacted_links_parity": _compacted_links_sql(),
         "png_decode_stats": _png_decode_sql(),
+        "bfs_levels_q": _BFS_LEVELS_SQL,
+        "bfs_partition_cut": _BFS_PARTITION_CUT_SQL,
     }

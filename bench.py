@@ -156,18 +156,45 @@ def main():
 
     # --- scale rows (single runs; work dominates the scheduling floor) ---
 
-    # Louvain at real size: multi-phase on the sparse graph, per-phase
-    # (Q, NV, NE, rounds, wall) so phase-loop economics (geometric shrink,
-    # contraction cost) are measured, not argued (r3 verdict #4)
+    # Louvain at real size with real structure: a planted ring of 2000
+    # 16-cliques (~242k edges) so per-phase (Q, NV, NE, rounds, wall)
+    # exhibits the geometric shrink the phase loop exists for (r3 verdict
+    # #4). The co-purchase graph is the WRONG subject for this row:
+    # TPC-H assigns parts to orders uniformly at random, so its projection
+    # is quasi-random — measured Q after 10 phases is 0.019 with near-zero
+    # contraction (20000→10128 vertices, ~70 s/phase; probed 2026-08-17).
+    # Louvain legitimately finds nothing there; structure recovery is
+    # gated by louvain_q / louvain_islands_q instead.
+    K, S = 2000, 16
+    verts = spark.range(K * S).select(
+        F.col("id").alias("vid"), (F.col("id") / S).cast("long").alias("c")
+    )
+    a, b = verts.alias("a"), verts.alias("b")
+    cliques = a.join(
+        b, (F.col("a.c") == F.col("b.c")) & (F.col("a.vid") < F.col("b.vid"))
+    ).select(
+        F.col("a.vid").alias("src"),
+        F.col("b.vid").alias("dst"),
+        F.lit(1.0).alias("weight"),
+    )
+    bridges = spark.range(K).select(
+        (F.col("id") * S + S - 1).alias("src"),
+        (((F.col("id") + 1) % K) * S).alias("dst"),
+        F.lit(1.0).alias("weight"),
+    )
+    ring = graph.canonicalize(cliques.unionByName(bridges)).persist()
+    n_ring = ring.count()
     lv_metrics: list[dict] = []
     t0 = time.monotonic()
     louvain_mod.louvain(
-        spark, sparse, max_phases=10, max_rounds_per_phase=20, metrics=lv_metrics
+        spark, ring, max_phases=10, max_rounds_per_phase=20, metrics=lv_metrics
     ).count()
     louvain_wall = time.monotonic() - t0
+    ring.unpersist()
     louvain_row = {
+        "graph": f"planted ring of {K} cliques of {S} ({n_ring} edges)",
         "wall_sec": round(louvain_wall, 3),
-        "final_q": round(lv_metrics[-1]["Q"], 6) if lv_metrics else None,
+        "best_q": round(max(p["Q"] for p in lv_metrics), 6) if lv_metrics else None,
         "phases": [
             {
                 "phase": p["phase"],
@@ -213,12 +240,23 @@ def main():
     ).collect()
     x24_wall = time.monotonic() - t0
     big_sym.unpersist()
+    # two throughput bases: end-to-end wall (includes planning + the
+    # final agg) and the summed per-iteration walls — the basis
+    # BENCH/BASELINE.md's scaling table uses (one-time costs amortize
+    # over hundreds of iterations in a real run)
+    iter_wall = sum(r["wall_s"] for r in mx.rows)
     x24_row = {
         "wall_sec": round(x24_wall, 3),
+        "iter_wall_sec": round(iter_wall, 3),
         "n_edges_sym": n_big,
         "edges_traversed": mx.total_edges_traversed,
         "edges_traversed_per_sec": round(mx.total_edges_traversed / x24_wall, 1)
         if x24_wall > 0
+        else 0.0,
+        "edges_traversed_per_iter_sec": round(
+            mx.total_edges_traversed / iter_wall, 1
+        )
+        if iter_wall > 0
         else 0.0,
         "replicate": replicate,
     }

@@ -239,3 +239,60 @@ def test_nhop_pairs_reachability_and_min_hops(spark):
         for r in nhop.n_hop_pairs(spark, ec, pairs, hops=2, directed=True).collect()
     }
     assert got_d[(2, 0)] == (False, -1) and got_d[(0, 2)] == (True, 2)
+
+
+# --- BFS levels + locality partitioning (operators/bfs.py) ---
+
+def test_bfs_levels_hand_oracle(spark):
+    """TWO_TRIANGLES_BRIDGE from vid 0: 0->0, {1,2}->1, 3->2, {4,5}->3."""
+    from graphanalytics_spark.operators import bfs
+
+    ec = graph.canonicalize(fixtures.edges_df(spark, fixtures.TWO_TRIANGLES_BRIDGE))
+    got = {r.vid: r.level for r in bfs.bfs_levels(spark, ec).collect()}
+    assert got == {0: 0, 1: 1, 2: 1, 3: 2, 4: 3, 5: 3}
+    # max_depth truncates the frontier loop
+    got2 = {r.vid: r.level for r in bfs.bfs_levels(spark, ec, max_depth=2).collect()}
+    assert got2 == {0: 0, 1: 1, 2: 1, 3: 2}
+
+
+def test_bfs_levels_multi_source_and_components(spark):
+    from graphanalytics_spark.operators import bfs
+
+    ec = graph.canonicalize(
+        fixtures.edges_df(spark, fixtures.TWO_COMPONENTS_PLUS_ISOLATE)
+    )
+    # default single seed (min vid) only reaches its component
+    assert {r.vid for r in bfs.bfs_levels(spark, ec).collect()} == {0, 1, 2}
+    # component seeds cover every non-isolated vertex at the right level
+    seeds = bfs.component_seeds(spark, ec)
+    got = {r.vid: r.level for r in bfs.bfs_levels(spark, ec, seeds=seeds).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 0, 4: 1}
+
+
+def test_bfs_partition_planted_clique_path(spark):
+    """8x12 clique path: BFS-order chunks align with cliques, so the cut
+    is exactly the 7 bridges; hash partitioning cuts 503/535."""
+    import __spark_entry__ as entry
+    from graphanalytics_spark.operators import bfs
+
+    ec = entry._planted_clique_path(spark)
+    assign = bfs.bfs_partition(spark, ec, n_parts=8)
+    # every clique lands wholly in one partition
+    parts = assign.collect()
+    assert len(parts) == 96
+    by_clique = {}
+    for r in parts:
+        by_clique.setdefault(r.vid // 12, set()).add(r.part)
+    assert all(len(v) == 1 for v in by_clique.values()), by_clique
+    cut = bfs.edge_cut(ec, assign).first()
+    assert (cut.n_edges, cut.n_cut) == (535, 7)
+    assert cut.cut_fraction == round(7 / 535, 8)
+
+
+def test_edge_cut_unassigned_counts_as_cut(spark):
+    from graphanalytics_spark.operators import bfs
+
+    ec = graph.canonicalize(fixtures.edges_df(spark, [(0, 1), (1, 2)]))
+    assign = spark.createDataFrame([(0, 0), (1, 0)], "vid long, part long")
+    cut = bfs.edge_cut(ec, assign).first()
+    assert (cut.n_edges, cut.n_cut) == (2, 1)  # edge (1,2): dst unassigned
