@@ -474,19 +474,31 @@ def _similar_vertices_cosine(spark, sf_dir):
     )
 
 
-def _similar_vertices_sql(metric: str = "jaccard", k: int = 3, cap: int = 8) -> str:
-    sim = (
-        "round(CAST(common AS DOUBLE) / (ds.deg + dd.deg - common), 8)"
-        if metric == "jaccard"
-        else "round(CAST(common AS DOUBLE) / sqrt(CAST(ds.deg * dd.deg AS DOUBLE)), 8)"
+def _similar_vertices_weighted(spark, sf_dir):
+    """Weighted-cosine variant — the reference kernel's true sparse-row
+    semantics (adjacency rows with edge weights as vector components,
+    general_similarity.hpp weighted sparse paths)."""
+    return graph.similar_vertices(
+        _graph_sparse(spark, sf_dir), k=3, metric="weighted_cosine", max_degree=8
     )
+
+
+def _similar_vertices_sql(metric: str = "jaccard", k: int = 3, cap: int = 8) -> str:
+    sims = {
+        "jaccard": "round(CAST(common AS DOUBLE) / (ds.deg + dd.deg - common), 8)",
+        "cosine": "round(CAST(common AS DOUBLE) / sqrt(CAST(ds.deg * dd.deg AS DOUBLE)), 8)",
+        "weighted_cosine": "round(dot / sqrt(ds.sq * dd.sq), 8)",
+    }
+    sim = sims[metric]
+    dot = ", sum(a.weight * b.weight) AS dot" if metric == "weighted_cosine" else ""
     return f"""WITH {_ES},
-sym AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
-deg AS (SELECT src AS vid, count(*) AS deg FROM sym GROUP BY 1),
-adj AS (SELECT src AS vid, dst AS nbr FROM sym
+sym AS (SELECT src, dst, weight FROM e UNION ALL SELECT dst, src, weight FROM e),
+deg AS (SELECT src AS vid, count(*) AS deg, sum(weight * weight) AS sq
+        FROM sym GROUP BY 1),
+adj AS (SELECT src AS vid, dst AS nbr, weight FROM sym
         WHERE dst IN (SELECT vid FROM deg WHERE deg <= {cap})),
 common AS (
-  SELECT a.vid AS src, b.vid AS dst, count(*) AS common
+  SELECT a.vid AS src, b.vid AS dst, count(*) AS common{dot}
   FROM adj a JOIN adj b ON a.nbr = b.nbr AND a.vid < b.vid
   GROUP BY 1, 2),
 scored AS (
@@ -2150,6 +2162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new in r4 --
         "similar_vertices_topk": _similar_vertices_topk,
         "similar_vertices_cosine": _similar_vertices_cosine,
+        "similar_vertices_weighted": _similar_vertices_weighted,
         "binary_edge_roundtrip": _binary_edge_roundtrip,
         "compacted_links_parity": _compacted_links_parity,
         "png_decode_stats": _png_decode_stats,
@@ -2202,9 +2215,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "modularity_cc": _modularity_cc,
         "nhop_2": _nhop_2,
         "khop_subgraph": _khop_subgraph,
-        "lpa_2iter": _lpa_2iter,
         # ---- 50-row window boundary ----
         # green in >=2 prior artifacts (evidence of record stands)
+        "lpa_2iter": _lpa_2iter,
         "mis_verified": _mis_verified,
         "louvain_q": _louvain_q,
         "vertex_degrees": _vertex_degrees,
@@ -2313,6 +2326,7 @@ def oracle_sql() -> dict[str, str]:
         "vertex_following_map": _VERTEX_FOLLOWING_SQL,
         "similar_vertices_topk": _similar_vertices_sql("jaccard"),
         "similar_vertices_cosine": _similar_vertices_sql("cosine"),
+        "similar_vertices_weighted": _similar_vertices_sql("weighted_cosine"),
         "binary_edge_roundtrip": _BINARY_EDGE_ROUNDTRIP_SQL,
         "compacted_links_parity": _compacted_links_sql(),
         "png_decode_stats": _png_decode_sql(),

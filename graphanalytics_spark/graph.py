@@ -345,6 +345,11 @@ def similar_vertices(
     For a candidate pair (u, v) with c = |N(u) ∩ N(v)| common neighbors:
       jaccard = c / (deg(u) + deg(v) - c)
       cosine  = c / sqrt(deg(u) * deg(v))        (binary adjacency rows)
+      weighted_cosine = Σ_n w_u(n)·w_v(n) / (‖w_u‖·‖w_v‖)
+        — the reference kernel's actual sparse-row semantics: each
+        vertex's adjacency row with edge weights as vector components
+        (general_similarity.hpp weighted sparse paths); the sums run over
+        shared neighbors only because other components multiply by 0.
     Output: (src, dst, common, sim) — each vertex's top-``k`` partners,
     ordered per-vertex by sim desc then dst asc (total order).
 
@@ -361,11 +366,25 @@ def similar_vertices(
     top-K window partitions by vertex id (V-way parallel); no cross
     product anywhere.
     """
-    if metric not in ("jaccard", "cosine"):
-        raise ValueError(f"metric must be 'jaccard' or 'cosine', got {metric!r}")
+    if metric not in ("jaccard", "cosine", "weighted_cosine"):
+        raise ValueError(
+            "metric must be 'jaccard', 'cosine' or 'weighted_cosine', "
+            f"got {metric!r}"
+        )
+    weighted = metric == "weighted_cosine"
     sym = symmetrize(edges_canon)
-    adj = sym.select(F.col("src").alias("vid"), F.col("dst").alias("nbr"))
-    deg = adj.groupBy("vid").agg(F.count("*").alias("deg"))
+    adj = sym.select(
+        F.col("src").alias("vid"), F.col("dst").alias("nbr"), "weight"
+    )
+    # degree/norm table over the UNCAPPED adjacency — denominators exact.
+    # For integer edge weights (co-occurrence counts) the Σw² partial sums
+    # are exact integers in double, so the result is shuffle-order
+    # independent; real-valued weights would need a DECIMAL sum for the
+    # cross-engine oracle discipline.
+    aggs = [F.count("*").alias("deg")]
+    if weighted:
+        aggs.append(F.sum(F.col("weight") * F.col("weight")).alias("sq"))
+    deg = adj.groupBy("vid").agg(*aggs)
     join_adj = adj
     if max_degree is not None:
         keep = (
@@ -373,25 +392,43 @@ def similar_vertices(
             .select(F.col("vid").alias("nbr"))
         )
         join_adj = join_adj.join(keep, "nbr", "left_semi")
-    a = join_adj.select("nbr", F.col("vid").alias("src"))
-    b = join_adj.select("nbr", F.col("vid").alias("dst"))
+    a = join_adj.select(
+        "nbr", F.col("vid").alias("src"), F.col("weight").alias("w_src")
+    )
+    b = join_adj.select(
+        "nbr", F.col("vid").alias("dst"), F.col("weight").alias("w_dst")
+    )
+    pair_aggs = [F.count("*").alias("common")]
+    if weighted:
+        pair_aggs.append(F.sum(F.col("w_src") * F.col("w_dst")).alias("dot"))
     common = (
         a.join(b, "nbr")
         .filter(F.col("src") < F.col("dst"))
         .groupBy("src", "dst")
-        .agg(F.count("*").alias("common"))
+        .agg(*pair_aggs)
     )
+    deg_cols = ["deg"] + (["sq"] if weighted else [])
     pairs = common.join(
-        deg.select(F.col("vid").alias("src"), F.col("deg").alias("deg_src")), "src"
+        deg.select(
+            F.col("vid").alias("src"),
+            *[F.col(c).alias(f"{c}_src") for c in deg_cols],
+        ),
+        "src",
     ).join(
-        deg.select(F.col("vid").alias("dst"), F.col("deg").alias("deg_dst")), "dst"
+        deg.select(
+            F.col("vid").alias("dst"),
+            *[F.col(c).alias(f"{c}_dst") for c in deg_cols],
+        ),
+        "dst",
     )
     if metric == "jaccard":
         sim = F.col("common") / (
             F.col("deg_src") + F.col("deg_dst") - F.col("common")
         )
-    else:
+    elif metric == "cosine":
         sim = F.col("common") / F.sqrt(F.col("deg_src") * F.col("deg_dst"))
+    else:
+        sim = F.col("dot") / F.sqrt(F.col("sq_src") * F.col("sq_dst"))
     # rounded BEFORE the ranking window so the per-vertex order (and the
     # k-th-place cutoff) is reproducible across engines (oracle discipline)
     scored = pairs.select("src", "dst", "common", F.round(sim, 8).alias("sim"))

@@ -169,6 +169,30 @@ def test_similar_vertices_tiny_oracle(spark):
     assert cos[(1, 2)] == round(2 / 3, 8)
 
 
+def test_similar_vertices_weighted_cosine(spark):
+    """Weighted sparse-row cosine: adjacency rows with edge weights as
+    vector components. Edges (0,1,w2) (0,2,w1) (1,2,w1) (1,3,w3)
+    (2,3,w1) (3,4,w1): ‖row0‖²=5, ‖row1‖²=14, ‖row2‖²=3, ‖row3‖²=11."""
+    ec = graph.canonicalize(
+        spark.createDataFrame(
+            [(0, 1, 2.0), (0, 2, 1.0), (1, 2, 1.0), (1, 3, 3.0),
+             (2, 3, 1.0), (3, 4, 1.0)],
+            "src long, dst long, weight double",
+        )
+    )
+    got = {
+        (r.src, r.dst): (r.common, r.sim)
+        for r in graph.similar_vertices(
+            ec, k=10, metric="weighted_cosine"
+        ).collect()
+        if r.src < r.dst
+    }
+    # (0,3) share {1,2}: dot = 2*3 + 1*1 = 7
+    assert got[(0, 3)] == (2, round(7 / (5 * 11) ** 0.5, 8))
+    # (1,2) share {0,3}: dot = 2*1 + 3*1 = 5
+    assert got[(1, 2)] == (2, round(5 / (14 * 3) ** 0.5, 8))
+
+
 def test_similar_vertices_hub_guard_and_topk(spark):
     """A degree-50 hub makes every pendant pair a candidate (1225 pairs);
     max_degree drops the hub from the JOIN SIDE only, so capped output
