@@ -95,6 +95,77 @@ def degree_histogram(edges_sym: DataFrame) -> DataFrame:
     )
 
 
+def degree_assortativity(edges_sym: DataFrame) -> DataFrame:
+    """Degree assortativity coefficient (Pearson correlation of endpoint
+    degrees over the symmetrized edge set; Newman 2002), one row:
+    (n_edge_ends, assortativity).
+
+    The five sufficient statistics (Σx, Σy, Σxy, Σx², Σy² over directed
+    edge ends) are summed as exact DECIMAL(38,0) — at web scale
+    n·Σx² overflows int64 and float sums are partition-order dependent —
+    so the final double division is the only inexact step (rounded to 6
+    for cross-engine hash stability). Positive ⇒ hubs link to hubs;
+    strongly negative on hub-and-spoke link graphs — with
+    ``degree_histogram`` this is the skew diagnostic pair that chooses
+    salting/AQE settings before a 100 TB run."""
+    deg = edges_sym.groupBy(F.col("src").alias("vid")).agg(
+        F.count("*").alias("deg")
+    )
+    dec = "decimal(38,0)"
+    ends = (
+        edges_sym.select("src", "dst")
+        .join(deg.select(F.col("vid").alias("src"), F.col("deg").alias("dx")), "src")
+        .join(deg.select(F.col("vid").alias("dst"), F.col("deg").alias("dy")), "dst")
+    )
+    s = ends.agg(
+        F.count("*").cast(dec).alias("n"),
+        F.sum(F.col("dx").cast(dec)).alias("sx"),
+        F.sum(F.col("dy").cast(dec)).alias("sy"),
+        F.sum((F.col("dx") * F.col("dy")).cast(dec)).alias("sxy"),
+        F.sum((F.col("dx") * F.col("dx")).cast(dec)).alias("sxx"),
+        F.sum((F.col("dy") * F.col("dy")).cast(dec)).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    varx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    vary = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return s.select(
+        F.col("n").cast("long").alias("n_edge_ends"),
+        F.round(num / F.sqrt(varx * vary), 6).alias("assortativity"),
+    )
+
+
+def reciprocity(edges: DataFrame) -> DataFrame:
+    """Directed-graph reciprocity, one row:
+    (n_edges, n_reciprocal, reciprocity).
+
+    Fraction of directed (src→dst) pairs whose reverse (dst→src) also
+    exists — the standard web/link-graph symmetry statistic. Self-loops
+    are excluded; duplicate rows count once. One distinct + one
+    self-equi-join on the canonical pair (both sides hash-partitioned on
+    the same key, so no second shuffle at scale)."""
+    e = (
+        edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    recip = e.join(rev, ["src", "dst"], "left_semi")
+    counts = e.agg(F.count("*").alias("n_edges")).crossJoin(
+        recip.agg(F.count("*").alias("n_reciprocal"))
+    )
+    return counts.select(
+        "n_edges",
+        "n_reciprocal",
+        F.round(
+            F.when(
+                F.col("n_edges") > 0,
+                F.col("n_reciprocal") / F.col("n_edges"),
+            ).otherwise(F.lit(0.0)),
+            9,
+        ).alias("reciprocity"),
+    )
+
+
 def isolate_vertices(edges: DataFrame, removed: DataFrame) -> DataFrame:
     """Remove a vertex set from the graph (``GraphCSR::isolateVertex``
     analog, /root/reference/mis/include/xilinxmis.hpp:86-106): anti-join on

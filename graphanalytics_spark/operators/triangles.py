@@ -77,3 +77,70 @@ def triangle_count_per_vertex(
         .union(tri.select(F.col("w").alias("vid")))
     )
     return corners.groupBy("vid").agg(F.count("*").alias("n_triangles"))
+
+
+def clustering_local(spark: SparkSession, edges_canon: DataFrame) -> DataFrame:
+    """Exact local clustering coefficient per vertex:
+    lcc(v) = 2·T(v) / (deg(v)·(deg(v)−1)), 0.0 for deg < 2.
+
+    DataFrame(vid, degree, n_triangles, lcc) over ALL vertices (triangle
+    counts zero-filled). Built entirely from the exact per-vertex triangle
+    counts and unweighted degrees — one extra broadcast-sized join over
+    ``triangle_count_per_vertex``; lcc rounded to 9 decimals for
+    cross-engine hash stability."""
+    deg = (
+        symmetrize(edges_canon)
+        .groupBy(F.col("src").alias("vid"))
+        .agg(F.count("*").alias("degree"))
+    )
+    tri = triangle_count_per_vertex(spark, edges_canon)
+    joined = deg.join(tri, "vid", "left").select(
+        "vid",
+        "degree",
+        F.coalesce(F.col("n_triangles"), F.lit(0)).alias("n_triangles"),
+    )
+    lcc = F.when(
+        F.col("degree") >= 2,
+        2.0 * F.col("n_triangles") / (F.col("degree") * (F.col("degree") - 1)),
+    ).otherwise(F.lit(0.0))
+    return joined.select(
+        "vid", "degree", "n_triangles", F.round(lcc, 9).alias("lcc")
+    )
+
+
+def clustering_global(spark: SparkSession, edges_canon: DataFrame) -> DataFrame:
+    """Graph-level clustering summary, one row:
+
+    - ``n_triangles``  — exact global triangle count
+    - ``n_wedges``     — Σ_v deg(v)·(deg(v)−1)/2 (paths of length 2)
+    - ``global_cc``    — transitivity 3·T / wedges
+    - ``avg_lcc``      — mean local clustering coefficient over all vertices
+
+    Integer numerators keep both ratios deterministic; ``avg_lcc`` sums
+    the per-vertex 9-decimal lcc values as exact DECIMALs (float sums are
+    partition-order dependent) before the final divide, rounded to 6."""
+    local = clustering_local(spark, edges_canon)
+    agg = local.agg(
+        (F.sum(F.col("degree") * (F.col("degree") - 1)) / 2).cast("long").alias(
+            "n_wedges"
+        ),
+        (F.sum("n_triangles") / 3).cast("long").alias("n_triangles"),
+        F.sum(F.col("lcc").cast("decimal(28,9)")).alias("_lcc_sum"),
+        F.count("*").alias("_n"),
+    )
+    return agg.select(
+        "n_triangles",
+        "n_wedges",
+        F.round(
+            F.when(
+                F.col("n_wedges") > 0,
+                3.0 * F.col("n_triangles") / F.col("n_wedges"),
+            ).otherwise(F.lit(0.0)),
+            9,
+        ).alias("global_cc"),
+        # cast the exact DECIMAL sum to double BEFORE the divide so both
+        # engines round the identical double quotient
+        F.round(F.col("_lcc_sum").cast("double") / F.col("_n"), 6).alias(
+            "avg_lcc"
+        ),
+    )

@@ -1,0 +1,165 @@
+"""Graph-metric operators vs brute-force python oracles: k-core peeling,
+local/global clustering coefficients, degree assortativity, reciprocity."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from graphanalytics_spark import graph
+from graphanalytics_spark.operators import triangles
+from graphanalytics_spark.operators.kcore import kcore
+
+
+def _random_pairs(n=50, p=0.12, seed=11):
+    rng = np.random.default_rng(seed)
+    pairs = [(i, j) for i in range(n) for j in range(i + 1, n) if rng.random() < p]
+    # canonicalize the wrap-around ring edge (n-1, 0) too — the brute-force
+    # oracles below assume every pair has a < b exactly once
+    pairs += [tuple(sorted((i, (i + 1) % n))) for i in range(n)]
+    return sorted(set(pairs)), n
+
+
+@pytest.fixture(scope="module")
+def gm_graph(spark):
+    pairs, n = _random_pairs()
+    df = spark.createDataFrame(
+        [(a, b, 1.0) for a, b in pairs], "src long, dst long, weight double"
+    )
+    return graph.canonicalize(df), pairs, n
+
+
+def _adj(pairs, n):
+    adj = {i: set() for i in range(n)}
+    for a, b in pairs:
+        adj[a].add(b)
+        adj[b].add(a)
+    return adj
+
+
+def _peel(pairs, n, k):
+    """Brute-force k-core: remove < k vertices until fixed point."""
+    adj = _adj(pairs, n)
+    alive = {v for v in adj if adj[v]}
+    while True:
+        drop = {v for v in alive if len(adj[v] & alive) < k}
+        if not drop:
+            break
+        alive -= drop
+    return {v: len(adj[v] & alive) for v in alive}
+
+
+def test_kcore_matches_peel_oracle(spark, gm_graph):
+    ec, pairs, n = gm_graph
+    for k in (2, 3, 4):
+        expected = _peel(pairs, n, k)
+        got = {r["vid"]: r["core_degree"] for r in kcore(spark, ec, k=k).collect()}
+        assert got == expected, f"k={k}"
+
+
+def test_kcore_invariants(spark, gm_graph):
+    ec, pairs, n = gm_graph
+    core = {r["vid"] for r in kcore(spark, ec, k=3).collect()}
+    adj = _adj(pairs, n)
+    # min within-core degree >= k
+    assert all(len(adj[v] & core) >= 3 for v in core)
+    # maximality: no removed vertex could rejoin
+    assert all(len(adj[v] & core) < 3 for v in adj if v not in core)
+
+
+def test_kcore_planted_clique(spark):
+    # 6-clique + a pendant path: the 5-core is exactly the clique
+    clique = [(a, b) for a in range(6) for b in range(a + 1, 6)]
+    path = [(5, 6), (6, 7), (7, 8)]
+    df = spark.createDataFrame(
+        [(a, b, 1.0) for a, b in clique + path],
+        "src long, dst long, weight double",
+    )
+    got = {r["vid"]: r["core_degree"] for r in kcore(spark, df, k=5).collect()}
+    assert got == {v: 5 for v in range(6)}
+    assert kcore(spark, df, k=7).count() == 0
+
+
+def test_clustering_local_matches_bruteforce(spark, gm_graph):
+    ec, pairs, n = gm_graph
+    adj = _adj(pairs, n)
+    got = {r["vid"]: r for r in triangles.clustering_local(spark, ec).collect()}
+    for v in range(n):
+        d = len(adj[v])
+        t = sum(
+            1
+            for u in adj[v]
+            for w in adj[v]
+            if u < w and w in adj[u]
+        )
+        lcc = 2.0 * t / (d * (d - 1)) if d >= 2 else 0.0
+        assert got[v]["degree"] == d
+        assert got[v]["n_triangles"] == t
+        assert abs(got[v]["lcc"] - lcc) < 1e-8
+    assert set(got) == set(range(n))
+
+
+def test_clustering_global_consistent(spark, gm_graph):
+    ec, pairs, n = gm_graph
+    adj = _adj(pairs, n)
+    row = triangles.clustering_global(spark, ec).first()
+    n_tri = sum(
+        1
+        for a, b in pairs
+        for c in adj[a] & adj[b]
+        if c > b
+    )
+    wedges = sum(len(adj[v]) * (len(adj[v]) - 1) // 2 for v in range(n))
+    assert row["n_triangles"] == n_tri
+    assert row["n_wedges"] == wedges
+    assert abs(row["global_cc"] - 3.0 * n_tri / wedges) < 1e-8
+    lccs = [
+        2.0
+        * sum(1 for u in adj[v] for w in adj[v] if u < w and w in adj[u])
+        / (len(adj[v]) * (len(adj[v]) - 1))
+        if len(adj[v]) >= 2
+        else 0.0
+        for v in range(n)
+    ]
+    assert abs(row["avg_lcc"] - float(np.mean(lccs))) < 1e-5
+
+
+def test_assortativity_matches_numpy(spark, gm_graph):
+    ec, pairs, n = gm_graph
+    adj = _adj(pairs, n)
+    deg = {v: len(adj[v]) for v in adj}
+    xs = [deg[a] for a, b in pairs] + [deg[b] for a, b in pairs]
+    ys = [deg[b] for a, b in pairs] + [deg[a] for a, b in pairs]
+    expected = float(np.corrcoef(xs, ys)[0, 1])
+    row = graph.degree_assortativity(graph.symmetrize(ec)).first()
+    assert row["n_edge_ends"] == 2 * len(pairs)
+    assert abs(row["assortativity"] - expected) < 1e-5
+
+
+def test_assortativity_star_is_negative(spark):
+    # a star is maximally disassortative
+    star = [(0, i) for i in range(1, 8)] + [(1, 2)]
+    df = spark.createDataFrame(
+        [(a, b, 1.0) for a, b in star], "src long, dst long, weight double"
+    )
+    row = graph.degree_assortativity(graph.symmetrize(df)).first()
+    assert row["assortativity"] < -0.5
+
+
+def test_reciprocity(spark):
+    edges = [(0, 1), (1, 0), (1, 2), (2, 3), (3, 2), (4, 4), (0, 1)]
+    df = spark.createDataFrame(
+        [(a, b, 1.0) for a, b in edges], "src long, dst long, weight double"
+    )
+    row = graph.reciprocity(df).first()
+    # distinct non-loop pairs: (0,1),(1,0),(1,2),(2,3),(3,2) -> 5 edges,
+    # reciprocated: (0,1),(1,0),(2,3),(3,2) -> 4
+    assert row["n_edges"] == 5
+    assert row["n_reciprocal"] == 4
+    assert abs(row["reciprocity"] - 0.8) < 1e-12
+
+
+def test_reciprocity_empty(spark):
+    df = spark.createDataFrame([], "src long, dst long, weight double")
+    row = graph.reciprocity(df).first()
+    assert row["n_edges"] == 0 and row["n_reciprocal"] == 0
+    assert row["reciprocity"] == 0.0
