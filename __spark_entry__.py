@@ -2055,6 +2055,32 @@ SELECT vid,
 FROM d WHERE dist > 0 GROUP BY vid"""
 
 
+def _mixture_sample_q(spark, sf_dir):
+    """Deterministic per-language mixture sampling of the documents table
+    (functions/sampling.py) — downsample en to 0.5 and de to 0.25, keep
+    other languages whole; the keep set is a pure function of doc_id, so
+    the oracle reselects the identical documents."""
+    from graphanalytics_spark.functions import sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    sampled = sampling.mixture_sample(docs, {"en": 0.5, "de": 0.25})
+    return sampled.select("doc_id", "lang")
+
+
+def _mixture_sample_sql() -> str:
+    from graphanalytics_spark.functions.sampling import (
+        _SAMPLE_A,
+        _SAMPLE_M,
+        threshold,
+    )
+
+    return f"""SELECT doc_id, lang FROM documents
+WHERE ((doc_id % {_SAMPLE_M}) * {_SAMPLE_A} + 1) % {_SAMPLE_M}
+      < CASE WHEN lang = 'en' THEN {threshold(0.5)}
+             WHEN lang = 'de' THEN {threshold(0.25)}
+             ELSE {threshold(1.0)} END"""
+
+
 def _random_walks_q(spark, sf_dir):
     """Deterministic fixed-length walks (one per vertex, the
     DeepWalk/node2vec corpus generator) over the sparse graph
@@ -2385,6 +2411,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcore_q": _kcore_q,
         "harmonic_q": _harmonic_q,
         "random_walks_q": _random_walks_q,
+        "mixture_sample_q": _mixture_sample_q,
         "similar_vertices_topk": _similar_vertices_topk,
         "similar_vertices_cosine": _similar_vertices_cosine,
         "similar_vertices_weighted": _similar_vertices_weighted,
@@ -2431,10 +2458,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "copurchase_edges": _copurchase_edges,
         "triangle_count": _triangle_count,
         "triangles_per_vertex": _triangles_per_vertex,
-        "pagerank_5iter": _pagerank_5iter,
         "connected_components": _connected_components,
         # ---- 50-row window boundary ----
         # green in >=2 prior artifacts (evidence of record stands)
+        "pagerank_5iter": _pagerank_5iter,
         "pagerank_csr_5iter": _pagerank_csr_5iter,
         "ppr_5iter": _ppr_5iter,
         "cc_sizes": _cc_sizes,
@@ -2500,6 +2527,7 @@ def oracle_sql() -> dict[str, str]:
         "kcore_q": _kcore_sql(k=3, rounds=14),
         "harmonic_q": _HARMONIC_SQL,
         "random_walks_q": _walks_sql(),
+        "mixture_sample_q": _mixture_sample_sql(),
         "pagerank_5iter": _pagerank5_sql(),
         "pagerank_csr_5iter": _pagerank5_sql(),
         "connected_components": _CC_SQL,

@@ -319,3 +319,50 @@ def test_png_decode_stats_distributed(spark):
         r = got[i]
         assert (r.height, r.width, r.channels) == px.shape
         assert r.pixel_sha256 == hashlib.sha256(px.tobytes()).hexdigest()
+
+
+def test_deterministic_sample_reproducible(spark):
+    from graphanalytics_spark.functions import sampling
+
+    docs = spark.createDataFrame(
+        [(i, "en" if i % 3 else "de") for i in range(300)], "doc_id long, lang string"
+    )
+    a = {r["doc_id"] for r in sampling.deterministic_sample(docs, 0.4).collect()}
+    b = {r["doc_id"] for r in sampling.deterministic_sample(docs, 0.4).collect()}
+    assert a == b and 0 < len(a) < 300
+    # rate=1 keeps everything, rate=0 nothing
+    assert sampling.deterministic_sample(docs, 1.0).count() == 300
+    assert sampling.deterministic_sample(docs, 0.0).count() == 0
+    # monotone: a lower rate selects a subset of a higher rate
+    c = {r["doc_id"] for r in sampling.deterministic_sample(docs, 0.2).collect()}
+    assert c <= a
+
+
+def test_mixture_sample_rates_and_report(spark):
+    from graphanalytics_spark.functions import sampling
+
+    docs = spark.createDataFrame(
+        [(i, ["en", "de", "fr"][i % 3]) for i in range(3000)],
+        "doc_id long, lang string",
+    )
+    sampled = sampling.mixture_sample(docs, {"en": 0.5, "de": 0.1})
+    rep = {
+        r["stratum"]: r
+        for r in sampling.sample_report(docs, sampled).collect()
+    }
+    assert rep["fr"]["n_sampled"] == rep["fr"]["n_total"]  # default rate 1.0
+    assert abs(rep["en"]["achieved_rate"] - 0.5) < 0.06
+    assert abs(rep["de"]["achieved_rate"] - 0.1) < 0.04
+    # python replay of the integer rule selects the identical set
+    from graphanalytics_spark.functions.sampling import (
+        _SAMPLE_A,
+        _SAMPLE_M,
+        threshold,
+    )
+
+    def keep(i, lang):
+        thr = {"en": threshold(0.5), "de": threshold(0.1)}.get(lang, threshold(1.0))
+        return ((i % _SAMPLE_M) * _SAMPLE_A + 1) % _SAMPLE_M < thr
+
+    expected = {i for i in range(3000) if keep(i, ["en", "de", "fr"][i % 3])}
+    assert {r["doc_id"] for r in sampled.collect()} == expected

@@ -135,3 +135,51 @@ def test_similar_vertices_is_bucket_equijoin(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "LeftSemi" in plan  # hub cap applied join-side
+
+
+def test_kcore_round_is_semijoin_pair(spark):
+    """One peel round = degree hash-agg + two left-semi filters on the
+    edge set — never a cartesian shape."""
+    from graphanalytics_spark.operators.kcore import kcore
+
+    ec = graph.canonicalize(
+        spark.createDataFrame(
+            [(i, i + 1, 1.0) for i in range(8)] + [(0, 2, 1.0), (1, 3, 1.0)],
+            "src long, dst long, weight double",
+        )
+    )
+    plan = _plan(kcore(spark, ec, k=2, max_rounds=1))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_random_walk_step_is_two_column_equijoin(spark):
+    """The neighbor probe joins on (vertex, idx) — one probe per walk,
+    no candidate amplification, no cartesian shape, no Python."""
+    from graphanalytics_spark.operators import walks
+
+    ec = graph.canonicalize(
+        spark.createDataFrame(
+            [(i, (i + 1) % 6, 1.0) for i in range(6)],
+            "src long, dst long, weight double",
+        )
+    )
+    plan = _plan(walks.random_walks(spark, ec, walk_length=2))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "pythonUDF" not in plan and "BatchEvalPython" not in plan
+
+
+def test_assortativity_single_aggregation(spark):
+    """Five DECIMAL moment sums travel through ONE aggregation pair —
+    no per-moment re-scan of the edge table."""
+    ec = graph.canonicalize(
+        spark.createDataFrame(
+            [(i, i + 1, 1.0) for i in range(10)],
+            "src long, dst long, weight double",
+        )
+    )
+    plan = _plan(graph.degree_assortativity(graph.symmetrize(ec)))
+    assert "CartesianProduct" not in plan
+    # one partial+final HashAggregate pair carrying all five sums
+    assert plan.count("sum(") >= 5
