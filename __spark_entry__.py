@@ -2081,6 +2081,42 @@ WHERE ((doc_id % {_SAMPLE_M}) * {_SAMPLE_A} + 1) % {_SAMPLE_M}
              ELSE {threshold(1.0)} END"""
 
 
+def _pack_sequences_q(spark, sf_dir):
+    """Shard-parallel greedy sequence packing of the documents table at a
+    512-token budget (functions/packing.py) — the training-sequence
+    assembly step; the oracle replays the per-shard greedy recurrence as
+    a recursive CTE."""
+    from graphanalytics_spark.functions import packing
+
+    return packing.pack_sequences(
+        _t(spark, sf_dir, "documents"), budget=512, n_shards=8
+    )
+
+
+def _pack_sequences_sql(budget: int = 512, n_shards: int = 8, seed: int = 1) -> str:
+    from graphanalytics_spark.functions.sampling import _SAMPLE_A, _SAMPLE_M
+
+    return f"""WITH RECURSIVE toks AS (
+  SELECT doc_id,
+    ((doc_id % {_SAMPLE_M}) * {_SAMPLE_A} + {seed}) % {_SAMPLE_M} % {n_shards} AS shard,
+    len(regexp_extract_all({_NORM}, '\\S+')) AS n_tokens
+  FROM documents),
+ord AS (SELECT *, row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+        FROM toks),
+pack(shard, rn, doc_id, n_tokens, seq, running) AS (
+  SELECT shard, rn, doc_id, n_tokens, 0, n_tokens FROM ord WHERE rn = 1
+  UNION ALL
+  SELECT o.shard, o.rn, o.doc_id, o.n_tokens,
+    CASE WHEN p.running + o.n_tokens > {budget} THEN p.seq + 1 ELSE p.seq END,
+    CASE WHEN p.running + o.n_tokens > {budget} THEN o.n_tokens
+         ELSE p.running + o.n_tokens END
+  FROM pack p JOIN ord o ON o.shard = p.shard AND o.rn = p.rn + 1
+)
+SELECT doc_id, CAST(shard AS BIGINT) AS shard, CAST(seq AS BIGINT) AS seq,
+  CAST(n_tokens AS BIGINT) AS n_tokens
+FROM pack"""
+
+
 def _random_walks_q(spark, sf_dir):
     """Deterministic fixed-length walks (one per vertex, the
     DeepWalk/node2vec corpus generator) over the sparse graph
@@ -2412,6 +2448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "harmonic_q": _harmonic_q,
         "random_walks_q": _random_walks_q,
         "mixture_sample_q": _mixture_sample_q,
+        "pack_sequences_q": _pack_sequences_q,
         "similar_vertices_topk": _similar_vertices_topk,
         "similar_vertices_cosine": _similar_vertices_cosine,
         "similar_vertices_weighted": _similar_vertices_weighted,
@@ -2458,9 +2495,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "copurchase_edges": _copurchase_edges,
         "triangle_count": _triangle_count,
         "triangles_per_vertex": _triangles_per_vertex,
-        "connected_components": _connected_components,
         # ---- 50-row window boundary ----
         # green in >=2 prior artifacts (evidence of record stands)
+        "connected_components": _connected_components,
         "pagerank_5iter": _pagerank_5iter,
         "pagerank_csr_5iter": _pagerank_csr_5iter,
         "ppr_5iter": _ppr_5iter,
@@ -2528,6 +2565,7 @@ def oracle_sql() -> dict[str, str]:
         "harmonic_q": _HARMONIC_SQL,
         "random_walks_q": _walks_sql(),
         "mixture_sample_q": _mixture_sample_sql(),
+        "pack_sequences_q": _pack_sequences_sql(),
         "pagerank_5iter": _pagerank5_sql(),
         "pagerank_csr_5iter": _pagerank5_sql(),
         "connected_components": _CC_SQL,

@@ -366,3 +366,63 @@ def test_mixture_sample_rates_and_report(spark):
 
     expected = {i for i in range(3000) if keep(i, ["en", "de", "fr"][i % 3])}
     assert {r["doc_id"] for r in sampled.collect()} == expected
+
+
+def test_pack_sequences_greedy_invariants(spark):
+    from graphanalytics_spark.functions import packing
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["tok"] * (7 + (i * 13) % 40))) for i in range(200)],
+        "doc_id long, text string",
+    )
+    packed = packing.pack_sequences(docs, budget=100, n_shards=4).collect()
+    assert len(packed) == 200
+    # replay the greedy recurrence per shard
+    by_shard = {}
+    for r in sorted(packed, key=lambda r: (r["shard"], r["doc_id"])):
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard, rows in by_shard.items():
+        seq, running = 0, 0
+        first = True
+        for r in rows:
+            t = r["n_tokens"]
+            assert t == 7 + (r["doc_id"] * 13) % 40
+            if first:
+                seq, running, first = 0, t, False
+            elif running + t > 100:
+                seq, running = seq + 1, t
+            else:
+                running += t
+            assert r["seq"] == seq, (shard, r["doc_id"])
+    # every sequence fits the budget (no doc here exceeds it alone)
+    from collections import defaultdict
+
+    totals = defaultdict(int)
+    for r in packed:
+        totals[(r["shard"], r["seq"])] += r["n_tokens"]
+    assert all(v <= 100 for v in totals.values())
+    rep = packing.packing_report(
+        packing.pack_sequences(docs, budget=100, n_shards=4), budget=100
+    ).collect()
+    assert sum(r["total_tokens"] for r in rep) == sum(r["n_tokens"] for r in packed)
+    assert all(r["n_oversize"] == 0 for r in rep)
+    assert all(0 < r["fill_ratio"] <= 1.0 for r in rep)
+
+
+def test_pack_sequences_oversize_doc_gets_own_sequence(spark):
+    from graphanalytics_spark.functions import packing
+
+    docs = spark.createDataFrame(
+        [(0, "a b c"), (1, " ".join(["w"] * 50)), (2, "d e")],
+        "doc_id long, text string",
+    )
+    packed = {
+        r["doc_id"]: r
+        for r in packing.pack_sequences(docs, budget=10, n_shards=1).collect()
+    }
+    # doc 1 (50 tokens > budget) sits alone in its own sequence
+    assert packed[1]["seq"] not in (packed[0]["seq"], packed[2]["seq"])
+    rep = packing.packing_report(
+        packing.pack_sequences(docs, budget=10, n_shards=1), budget=10
+    ).first()
+    assert rep["n_oversize"] == 1
