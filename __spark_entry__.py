@@ -2055,6 +2055,35 @@ SELECT vid,
 FROM d WHERE dist > 0 GROUP BY vid"""
 
 
+def _distance_histogram_q(spark, sf_dir):
+    """Exact pivot-sampled distance distribution (dist, n_pairs) from the
+    4 smallest vertex ids of the sparse graph
+    (operators/walks.py:distance_histogram) — the cumulative form is the
+    effective-diameter estimator; same per-seed recursive-CTE oracle as
+    harmonic_q."""
+    from graphanalytics_spark.operators import walks
+
+    e = _graph_sparse(spark, sf_dir)
+    seeds = [
+        r["vid"] for r in graph.vertices(e).orderBy("vid").limit(4).collect()
+    ]
+    return walks.distance_histogram(spark, e, seeds, max_depth=64)
+
+
+_DIST_HIST_SQL = f"""WITH RECURSIVE {_ES},
+sym AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+seeds AS (SELECT DISTINCT src AS v FROM sym ORDER BY v LIMIT 4),
+walk(seed, vid, level) AS (
+  SELECT v, v, 0 FROM seeds
+  UNION
+  SELECT w.seed, s.dst, w.level + 1 FROM walk w JOIN sym s ON s.src = w.vid
+  WHERE w.level < 64
+),
+d AS (SELECT seed, vid, min(level) AS dist FROM walk GROUP BY 1, 2)
+SELECT CAST(dist AS BIGINT) AS dist, count(*) AS n_pairs
+FROM d WHERE dist > 0 GROUP BY 1"""
+
+
 def _mixture_sample_q(spark, sf_dir):
     """Deterministic per-language mixture sampling of the documents table
     (functions/sampling.py) — downsample en to 0.5 and de to 0.25, keep
@@ -2449,6 +2478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "random_walks_q": _random_walks_q,
         "mixture_sample_q": _mixture_sample_q,
         "pack_sequences_q": _pack_sequences_q,
+        "distance_histogram_q": _distance_histogram_q,
         "similar_vertices_topk": _similar_vertices_topk,
         "similar_vertices_cosine": _similar_vertices_cosine,
         "similar_vertices_weighted": _similar_vertices_weighted,
@@ -2494,8 +2524,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    per-round regression baseline for the headline operators) --
         "copurchase_edges": _copurchase_edges,
         "triangle_count": _triangle_count,
-        "triangles_per_vertex": _triangles_per_vertex,
         # ---- 50-row window boundary ----
+        "triangles_per_vertex": _triangles_per_vertex,
         # green in >=2 prior artifacts (evidence of record stands)
         "connected_components": _connected_components,
         "pagerank_5iter": _pagerank_5iter,
@@ -2566,6 +2596,7 @@ def oracle_sql() -> dict[str, str]:
         "random_walks_q": _walks_sql(),
         "mixture_sample_q": _mixture_sample_sql(),
         "pack_sequences_q": _pack_sequences_sql(),
+        "distance_histogram_q": _DIST_HIST_SQL,
         "pagerank_5iter": _pagerank5_sql(),
         "pagerank_csr_5iter": _pagerank5_sql(),
         "connected_components": _CC_SQL,

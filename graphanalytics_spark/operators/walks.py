@@ -110,6 +110,34 @@ def random_walks(
     return out
 
 
+def distance_histogram(
+    spark: SparkSession,
+    edges_canon: DataFrame,
+    seeds: list[int],
+    max_depth: int = 64,
+) -> DataFrame:
+    """Exact (seed → vertex) distance distribution from a pivot set:
+    DataFrame(dist, n_pairs) for dist ≥ 1 — the pivot-sampled estimator of
+    the graph's distance distribution, whose cumulative form gives the
+    effective diameter (smallest d with ≥90% of reachable pairs).
+    Same per-pivot BFS machinery as ``harmonic_centrality``; one row per
+    distance value, so the result is tiny regardless of graph size."""
+    per_seed = []
+    from graphanalytics_spark.operators.bfs import bfs_levels
+
+    for p in seeds:
+        seed_df = spark.createDataFrame([(int(p),)], "vid long")
+        lv = bfs_levels(spark, edges_canon, seeds=seed_df, max_depth=max_depth)
+        per_seed.append(lv.filter(F.col("level") > 0).select("level"))
+    alld = per_seed[0]
+    for d in per_seed[1:]:
+        alld = alld.unionByName(d)
+    return (
+        alld.groupBy(F.col("level").cast("long").alias("dist"))
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
 def harmonic_centrality(
     spark: SparkSession,
     edges_canon: DataFrame,

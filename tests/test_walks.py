@@ -113,3 +113,32 @@ def test_harmonic_matches_bruteforce(spark, wgraph):
     assert set(got) == set(expected)
     for v in expected:
         assert abs(got[v] - expected[v]) < 1e-8
+
+
+def test_distance_histogram_matches_bfs(spark, wgraph):
+    ec, pairs = wgraph
+    adj = _adj(pairs)
+
+    def dist_from(s):
+        d, frontier = {s: 0}, [s]
+        while frontier:
+            nxt = []
+            for v in frontier:
+                for u in adj[v]:
+                    if u not in d:
+                        d[u] = d[v] + 1
+                        nxt.append(u)
+            frontier = nxt
+        return d
+
+    seeds = [0, 3]
+    expected = {}
+    for s in seeds:
+        for v, dv in dist_from(s).items():
+            if dv > 0:
+                expected[dv] = expected.get(dv, 0) + 1
+    got = {
+        r["dist"]: r["n_pairs"]
+        for r in walks.distance_histogram(spark, ec, seeds).collect()
+    }
+    assert got == expected
