@@ -17,8 +17,8 @@ needs at 100 TB:
 
 - ``harmonic_centrality``: Σ_seeds 1/dist(seed, v) over an explicit
   pivot set — the standard sampled approximation of harmonic closeness
-  at web scale (one multi-round BFS per pivot; HyperBall's sketch union
-  is the alternative when pivot counts grow, noted in SURVEY §4). Exact
+  at web scale (one multi-round BFS per pivot; HyperBall-style HLL
+  sketch union is the alternative when pivot counts grow). Exact
   per-pivot distances come from ``bfs.bfs_levels``; per-term reciprocals
   are rounded and summed as exact DECIMALs so the result is
   shuffle-order independent.
