@@ -19,6 +19,15 @@ Two implementations with identical semantics:
   with Spark shuffles playing the ghost-exchange role
   (/root/reference/louvainmod/include/ParLV.h:112-213).
 
+Which to use: the DataFrame path. Measured head-to-head on the ×24
+replicated graph (57.4 M symmetrized edges, 20 fixed iterations,
+local[32]; BENCH/BASELINE.md r4): join+agg 98.9 s iteration wall
+(11.61 M edges/s) vs CSR-Arrow 625.2 s (1.84 M edges/s) — the Arrow
+path pays per-block serialization + Python-worker scheduling every
+iteration, while the declarative plan stays inside whole-stage codegen.
+``pagerank_csr`` remains as the reference-kernel parity shape and the
+template for semantics the built-ins cannot express.
+
 Semantics: damping d=0.85; rank(v) = (1-d)/N + d*(dangling_mass/N +
 Σ_{u→v} rank(u) * weight(u,v) / wdeg_out(u)); iterate until
 max|Δrank| < tol (default 1e-6, the reference's default ΔQ tolerance,
