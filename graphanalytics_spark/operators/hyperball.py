@@ -1,0 +1,97 @@
+"""HyperBall: the neighborhood function N(t) by per-vertex HLL sketch
+union (Boldi–Rosa–Vigna 2011).
+
+N(t) = #ordered pairs (u, v) with dist(u, v) ≤ t. Computing it exactly
+needs all-pairs BFS; HyperBall keeps ONE HyperLogLog sketch per vertex
+(initially {v}) and each round replaces it with the union of its own and
+its neighbors' sketches — after t rounds vertex v's sketch estimates
+|ball(v, t)|, and Σ_v estimate = N(t). The curve yields the effective
+diameter (smallest t with N(t) ≥ 0.9·N(∞)) and average distance without
+ever materializing pairs.
+
+Spark-first: the sketches are Spark 4's built-in datasketches HLL columns
+(``hll_sketch_agg`` / ``hll_union_agg`` / ``hll_sketch_estimate`` — JVM
+aggregates, no Python in the loop), so one round is exactly the PageRank
+gather shape: adjacency ⋈ state, group by dst with a sketch-union
+aggregate (map-side partial union absorbs hub skew), then a scalar
+``hll_union`` with the previous sketch. State is V rows × 2^lg_k bytes
+(lg_k=12 → 4 KB/vertex, the precision/size knob at 10^12 vertices).
+Deterministic: datasketches HLL has no RNG — the same input set always
+yields the same estimate, which is what lets an invariant certificate
+gate the result (the converged N(∞) must match the EXACT per-component
+pair count Σ|C|² from ``connected_components``).
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from graphanalytics_spark.graph import symmetrize
+from graphanalytics_spark.plans.truncate import LineageTruncator
+
+
+def neighborhood_function(
+    spark: SparkSession,
+    edges_canon: DataFrame,
+    max_t: int = 32,
+    lg_k: int = 12,
+    checkpoint_every: int = 4,
+) -> list[dict]:
+    """Run HyperBall until N(t) stabilizes (or ``max_t``); returns the
+    curve as [{"t": t, "n_pairs_est": float, "wall_s": s}, ...] with t=0
+    counting the |V| self-pairs. The curve is driver-side tiny (one float
+    per round) — the per-vertex sketch table never leaves the cluster."""
+    sym = symmetrize(edges_canon).select("src", "dst").persist()
+    sym.count()
+    truncator = LineageTruncator(spark, hard_every=checkpoint_every or 4)
+
+    state = (
+        sym.select(F.col("src").alias("vid"))
+        .distinct()
+        .groupBy("vid")
+        .agg(F.hll_sketch_agg("vid", F.lit(lg_k)).alias("sk"))
+    )
+    state = truncator.truncate(state, 0, stream="hb")
+
+    def total(st: DataFrame) -> float:
+        return float(
+            st.agg(
+                F.sum(F.hll_sketch_estimate("sk")).alias("n")
+            ).first()["n"]
+        )
+
+    curve = [{"t": 0, "n_pairs_est": total(state), "wall_s": 0.0}]
+    for t in range(1, max_t + 1):
+        t0 = time.monotonic()
+        nbr = (
+            sym.join(state, sym.src == state.vid)
+            .groupBy(F.col("dst").alias("vid"))
+            .agg(F.hll_union_agg("sk").alias("nsk"))
+        )
+        new_state = state.join(nbr, "vid", "left").select(
+            "vid",
+            F.when(
+                F.col("nsk").isNull(), F.col("sk")
+            ).otherwise(F.hll_union("sk", "nsk")).alias("sk"),
+        )
+        new_state = truncator.truncate(new_state, t, stream="hb")
+        n = total(new_state)
+        state = new_state
+        curve.append(
+            {"t": t, "n_pairs_est": n, "wall_s": time.monotonic() - t0}
+        )
+        if n == curve[-2]["n_pairs_est"]:
+            break
+    sym.unpersist()
+    return curve
+
+
+def effective_diameter(curve: list[dict], q: float = 0.9) -> int:
+    """Smallest t with N(t) ≥ q·N(final) — read off the HyperBall curve."""
+    final = curve[-1]["n_pairs_est"]
+    for row in curve:
+        if row["n_pairs_est"] >= q * final:
+            return row["t"]
+    return curve[-1]["t"]

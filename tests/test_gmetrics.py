@@ -163,3 +163,31 @@ def test_reciprocity_empty(spark):
     row = graph.reciprocity(df).first()
     assert row["n_edges"] == 0 and row["n_reciprocal"] == 0
     assert row["reciprocity"] == 0.0
+
+
+def test_hyperball_matches_exact_on_small_graph(spark):
+    """At small cardinalities the datasketches HLL is exact (sparse
+    mode), so the HyperBall curve must equal the exact neighborhood
+    function of a hand-checkable graph."""
+    from graphanalytics_spark.operators.hyperball import (
+        effective_diameter,
+        neighborhood_function,
+    )
+
+    # path 0-1-2-3 plus isolated pair 4-5
+    pairs = [(0, 1), (1, 2), (2, 3), (4, 5)]
+    df = spark.createDataFrame(
+        [(a, b, 1.0) for a, b in pairs], "src long, dst long, weight double"
+    )
+    curve = neighborhood_function(spark, graph.canonicalize(df), max_t=10)
+    got = [row["n_pairs_est"] for row in curve]
+    # exact N(t): t=0 self pairs 6; t=1: path 0..3 contributes 4+2*3=10? ->
+    # ball sizes: [2,3,3,2] =10, pair 4-5: [2,2]=4 -> 14
+    # t=2: [3,4,4,3]=14 +4 = 18; t=3: [4,4,4,4]=16+4=20; stable after
+    assert got[0] == 6.0
+    assert got[1] == 14.0
+    assert got[2] == 18.0
+    assert got[3] == 20.0
+    assert got[-1] == 20.0
+    assert all(b >= a for a, b in zip(got, got[1:]))
+    assert effective_diameter(curve) == 2  # 0.9*20 = 18, first reached at t=2
