@@ -63,6 +63,7 @@ def neighborhood_function(
         )
 
     curve = [{"t": 0, "n_pairs_est": total(state), "wall_s": 0.0}]
+    flat_rounds = 0
     for t in range(1, max_t + 1):
         t0 = time.monotonic()
         nbr = (
@@ -82,8 +83,23 @@ def neighborhood_function(
         curve.append(
             {"t": t, "n_pairs_est": n, "wall_s": time.monotonic() - t0}
         )
+        # Two consecutive flat rounds before stopping (r4 advice): in the
+        # sparse/linear-counting regime a register update can leave the
+        # estimate unchanged for one round while sketches are still
+        # growing, so a single flat total is not proof of the fixed point.
+        # Balls grow every round until they equal their component, so one
+        # extra sweep after true convergence is a no-op, and two flat
+        # totals in a row can only happen at the fixed point or at an
+        # estimate plateau the single-round break would also have accepted.
         if n == curve[-2]["n_pairs_est"]:
-            break
+            flat_rounds += 1
+            if flat_rounds >= 2:
+                # drop the duplicate confirmation round from the curve so
+                # effective_diameter reads the same curve as before
+                curve.pop()
+                break
+        else:
+            flat_rounds = 0
     sym.unpersist()
     return curve
 

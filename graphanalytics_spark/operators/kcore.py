@@ -29,6 +29,7 @@ same way as the PageRank/CC loops (plans/truncate.py).
 from __future__ import annotations
 
 import time
+import warnings
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -46,22 +47,27 @@ def kcore(
     """Vertices of the k-core with their within-core degree:
     DataFrame(vid: long, core_degree: long). Empty result when the graph
     has no k-core. ``edges_canon`` is the canonical undirected-once table
-    (src < dst)."""
+    (src < dst).
+
+    Termination (r4 advice): the fixed-point test is EDGE-count based —
+    a round that drops no edges cannot change any degree, hence cannot
+    change the keep set, so the peel has converged. If ``max_rounds`` is
+    exhausted before that (a pathological onion at this k), the result is
+    a supergraph of the true k-core; that truncation warns loudly instead
+    of returning silently. ``metrics`` rows carry
+    (round, edges_dropped, surviving_edges, wall_s) — the surviving EDGE
+    count in the edges slot, so derived edges/s throughput is honest."""
     if k < 1:
         raise ValueError("k must be >= 1")
     truncator = LineageTruncator(spark, hard_every=checkpoint_every or 4)
     active = edges_canon.select("src", "dst").persist()
-    # vertex count of the active subgraph (src/dst sets overlap, so count
-    # the union); one-time setup action
-    n_active = (
-        active.select(F.col("src").alias("vid"))
-        .union(active.select(F.col("dst").alias("vid")))
-        .distinct()
-        .count()
-    )
+    n_edges = active.count()  # one-time setup action
     first = active
+    converged = n_edges == 0
 
     for rnd in range(1, max_rounds + 1):
+        if converged:
+            break
         t0 = time.monotonic()
         ends = active.select(F.col("src").alias("vid")).unionAll(
             active.select(F.col("dst").alias("vid"))
@@ -72,15 +78,22 @@ def kcore(
             keep.withColumnRenamed("vid", "src"), "src", "left_semi"
         ).join(keep.withColumnRenamed("vid", "dst"), "dst", "left_semi")
         nxt = truncator.truncate(nxt, rnd, stream="kcore")
-        n_keep = keep.count()
+        n_next = nxt.count()
         if metrics is not None:
             metrics.add(
-                rnd, float(n_active - n_keep), n_keep, time.monotonic() - t0
+                rnd, float(n_edges - n_next), n_next, time.monotonic() - t0
             )
-        if n_keep == n_active:
-            break
-        n_active = n_keep
+        converged = n_next == n_edges
+        n_edges = n_next
         active = nxt
+    if not converged:
+        warnings.warn(
+            f"kcore(k={k}) stopped at max_rounds={max_rounds} before the "
+            "peel fixed point: the result is a SUPERGRAPH of the true "
+            "k-core. Raise max_rounds.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
 
     result = (
         active.select(F.col("src").alias("vid"))

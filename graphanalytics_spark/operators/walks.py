@@ -122,6 +122,8 @@ def distance_histogram(
     effective diameter (smallest d with ≥90% of reachable pairs).
     Same per-pivot BFS machinery as ``harmonic_centrality``; one row per
     distance value, so the result is tiny regardless of graph size."""
+    if not seeds:
+        raise ValueError("distance_histogram needs a non-empty pivot set")
     per_seed = []
     from graphanalytics_spark.operators.bfs import bfs_levels
 
@@ -150,6 +152,8 @@ def harmonic_centrality(
     independent of shuffle order (cross-engine oracle discipline).
     Vertices unreachable from every seed are absent. One BFS per pivot —
     the estimator's cost is |seeds| × O(diameter) rounds by design."""
+    if not seeds:
+        raise ValueError("harmonic_centrality needs a non-empty pivot set")
     from graphanalytics_spark.operators.bfs import bfs_levels
 
     per_seed = []
