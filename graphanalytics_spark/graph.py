@@ -402,7 +402,7 @@ def similar_vertices(
     edges_canon: DataFrame,
     k: int = 10,
     metric: str = "jaccard",
-    max_degree: int | None = None,
+    max_degree: int | None = 10_000,
 ) -> DataFrame:
     """Per-vertex top-K most similar vertices by *neighbor-set* overlap —
     the sparse-graph half of the reference's general-similarity kernel,
@@ -429,7 +429,10 @@ def similar_vertices(
     quadratic only within one vertex's neighborhood. ``max_degree`` is the
     mandatory-at-scale hot-key guard: a degree-d hub contributes d(d-1)/2
     candidate pairs, so hubs above the cap are dropped from the JOIN SIDES
-    ONLY (common-neighbor paths *through* mega-hubs carry no
+    ONLY. It is CAPPED BY DEFAULT (10 000 — ≤ 5·10⁷ pairs per hub, the
+    r4-verdict safe default: an uncapped mega-hub at web scale turns the
+    self-join quadratic); pass ``max_degree=None`` explicitly to disable
+    on graphs known hub-free. Hub paths carry no
     discriminative signal — the same join-side-only rationale as the ngram
     index's max_shingle_df cap, functions/dedup.py). Degrees — the
     denominators — are computed on the UNCAPPED graph, so every emitted

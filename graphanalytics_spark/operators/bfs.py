@@ -91,6 +91,53 @@ def bfs_levels(
     return visited
 
 
+def bfs_levels_tagged(
+    spark: SparkSession,
+    edges_canon: DataFrame,
+    seeds: DataFrame,
+    max_depth: int | None = None,
+    directed: bool = False,
+) -> DataFrame:
+    """Per-seed hop distance in ONE frontier loop: DataFrame(seed, vid,
+    level) with level 0 at (s, s). Where ``bfs_levels`` merges all seeds
+    into one frontier (distance to the NEAREST seed), this keeps the
+    frontier keyed by (seed, vid) so every pivot's full distance vector
+    comes out of a single O(max-eccentricity) round loop instead of
+    |seeds| separate loops — the scale path for pivot-sampled estimators
+    (harmonic/closeness/distance-distribution over dozens of pivots).
+    Per-round cost is Σ_s |frontier_s| join rows; rounds stop when every
+    seed's frontier is exhausted."""
+    adj = (
+        edges_canon.select("src", "dst")
+        if directed
+        else symmetrize(edges_canon).select("src", "dst")
+    ).persist()
+    frontier = (
+        seeds.select(F.col(seeds.columns[0]).alias("seed"))
+        .distinct()
+        .select("seed", F.col("seed").alias("vid"), F.lit(0).alias("level"))
+        .localCheckpoint(eager=True)
+    )
+    visited = frontier
+    depth = 0
+    while max_depth is None or depth < max_depth:
+        depth += 1
+        nxt = (
+            frontier.join(adj, frontier.vid == adj.src)
+            .select("seed", F.col("dst").alias("vid"))
+            .distinct()
+            .join(visited.select("seed", "vid"), ["seed", "vid"], "left_anti")
+            .withColumn("level", F.lit(depth))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.count() == 0:
+            break
+        visited = visited.union(nxt)
+        frontier = nxt
+    adj.unpersist()
+    return visited
+
+
 def component_seeds(spark: SparkSession, edges_canon: DataFrame) -> DataFrame:
     """One seed per connected component: the minimum vid of each — the
     deterministic restart set the reference's BFS partitioner implies for

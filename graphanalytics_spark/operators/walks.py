@@ -17,9 +17,11 @@ needs at 100 TB:
 
 - ``harmonic_centrality``: Σ_seeds 1/dist(seed, v) over an explicit
   pivot set — the standard sampled approximation of harmonic closeness
-  at web scale (one multi-round BFS per pivot; HyperBall-style HLL
-  sketch union is the alternative when pivot counts grow). Exact
-  per-pivot distances come from ``bfs.bfs_levels``; per-term reciprocals
+  at web scale (HyperBall-style HLL sketch union is the alternative when
+  pivot counts grow, operators/hyperball.py). Exact per-pivot distances
+  come from ONE tagged multi-seed frontier loop
+  (``bfs.bfs_levels_tagged`` — O(max-eccentricity) rounds total, not
+  |seeds| separate loops); per-term reciprocals
   are rounded and summed as exact DECIMALs so the result is
   shuffle-order independent.
 """
@@ -110,6 +112,118 @@ def random_walks(
     return out
 
 
+def node2vec_walks(
+    spark: SparkSession,
+    edges_canon: DataFrame,
+    walk_length: int = 4,
+    p: int = 1,
+    q: int = 2,
+    seed: int = 1,
+) -> DataFrame:
+    """Second-order (node2vec-biased) deterministic walks: one walk per
+    vertex, DataFrame(walk_id, step, vid). Grover–Leskovec bias relative
+    to the previous vertex: returning to it weighs 1/p, moving to a
+    common neighbor of (prev, cur) weighs 1, moving outward weighs 1/q.
+    ``p``/``q`` must be positive INTEGERS so the weights scale to exact
+    ints (back=q, common=p·q, forward=p) and the cumulative-weight pick —
+    the same seeded-LCG mix as ``random_walks``, reduced mod the walk's
+    total weight — replays bit-for-bit in the DuckDB oracle. Step 1 has
+    no previous vertex and is the uniform first-order pick.
+
+    Scale shape: each step expands the current frontier against the
+    indexed adjacency (one row per candidate neighbor — Σ deg(cur) rows,
+    avg-degree × #walks), classifies candidates with ONE equi-join probe
+    of the edge set on (prev, candidate), and resolves the pick with a
+    per-walk window (partition = one walk's candidate list, bounded by
+    deg(cur) — a walk standing on a mega-hub sorts that hub's list in one
+    task, the inherent cost of exact second-order bias; cap hubs upstream
+    with isolate_vertices if that bound matters). The state that moves
+    per step is 3 longs per walk."""
+    if p < 1 or q < 1:
+        raise ValueError("p and q must be positive integers")
+    w_back, w_common, w_forward = q, p * q, p
+    adj = indexed_adjacency(edges_canon).localCheckpoint(eager=True)
+    degs = adj.groupBy(F.col("src").alias("vid")).agg(F.max("deg").alias("deg"))
+    starts = adj.select(F.col("src").alias("walk_id")).distinct()
+    out = starts.select("walk_id", F.lit(0).alias("step"), F.col("walk_id").alias("vid"))
+
+    # step 1: uniform first-order pick (no prev), identical to random_walks
+    pick1 = F.pmod(
+        (
+            (F.col("vid") % F.lit(_WALK_M)) * F.lit(_WALK_A)
+            + F.lit(1 * _WALK_B)
+            + (F.col("walk_id") % F.lit(_WALK_M)) * F.lit(_WALK_C)
+            + F.lit(seed)
+        )
+        % F.lit(_WALK_M),
+        F.col("deg"),
+    )
+    s1 = (
+        out.join(degs, "vid")
+        .select("walk_id", F.col("vid").alias("cur"), pick1.alias("pick"))
+        .join(adj, (F.col("cur") == adj.src) & (F.col("pick") == adj.idx))
+        .select(
+            "walk_id",
+            F.col("cur").alias("prev"),
+            F.col("dst").alias("cur2"),
+        )
+        .withColumnRenamed("cur2", "cur")
+    )
+    out = out.unionByName(
+        s1.select("walk_id", F.lit(1).alias("step"), F.col("cur").alias("vid"))
+    )
+    state = s1
+
+    epairs = adj.select(
+        F.col("src").alias("p_src"), F.col("dst").alias("p_dst")
+    ).withColumn("is_common", F.lit(1))
+    w_cum = Window.partitionBy("walk_id").orderBy("idx")
+    w_tot = Window.partitionBy("walk_id")
+    for t in range(2, walk_length + 1):
+        cands = state.join(adj, state.cur == adj.src).select(
+            "walk_id", "prev", "cur", "dst", "idx"
+        )
+        cands = cands.join(
+            epairs,
+            (cands.prev == epairs.p_src) & (cands.dst == epairs.p_dst),
+            "left",
+        ).select(
+            "walk_id",
+            "prev",
+            "cur",
+            "dst",
+            "idx",
+            F.when(F.col("dst") == F.col("prev"), F.lit(w_back))
+            .when(F.col("is_common").isNotNull(), F.lit(w_common))
+            .otherwise(F.lit(w_forward))
+            .alias("w"),
+        )
+        r = (
+            (F.col("cur") % F.lit(_WALK_M)) * F.lit(_WALK_A)
+            + F.lit(t * _WALK_B)
+            + (F.col("walk_id") % F.lit(_WALK_M)) * F.lit(_WALK_C)
+            + F.lit(seed)
+        ) % F.lit(_WALK_M)
+        scored = cands.select(
+            "walk_id",
+            "cur",
+            "dst",
+            "w",
+            F.sum("w").over(w_cum).alias("cum"),
+            F.pmod(r, F.sum("w").over(w_tot)).alias("r"),
+        )
+        nxt = scored.filter(
+            (F.col("r") >= F.col("cum") - F.col("w")) & (F.col("r") < F.col("cum"))
+        ).select(
+            "walk_id", F.col("cur").alias("prev"), F.col("dst").alias("cur")
+        )
+        out = out.unionByName(
+            nxt.select("walk_id", F.lit(t).alias("step"), F.col("cur").alias("vid"))
+        )
+        state = nxt
+    return out
+
+
 def distance_histogram(
     spark: SparkSession,
     edges_canon: DataFrame,
@@ -120,22 +234,17 @@ def distance_histogram(
     DataFrame(dist, n_pairs) for dist ≥ 1 — the pivot-sampled estimator of
     the graph's distance distribution, whose cumulative form gives the
     effective diameter (smallest d with ≥90% of reachable pairs).
-    Same per-pivot BFS machinery as ``harmonic_centrality``; one row per
+    Same tagged multi-seed BFS as ``harmonic_centrality``; one row per
     distance value, so the result is tiny regardless of graph size."""
     if not seeds:
         raise ValueError("distance_histogram needs a non-empty pivot set")
-    per_seed = []
-    from graphanalytics_spark.operators.bfs import bfs_levels
+    from graphanalytics_spark.operators.bfs import bfs_levels_tagged
 
-    for p in seeds:
-        seed_df = spark.createDataFrame([(int(p),)], "vid long")
-        lv = bfs_levels(spark, edges_canon, seeds=seed_df, max_depth=max_depth)
-        per_seed.append(lv.filter(F.col("level") > 0).select("level"))
-    alld = per_seed[0]
-    for d in per_seed[1:]:
-        alld = alld.unionByName(d)
+    seed_df = spark.createDataFrame([(int(p),) for p in seeds], "vid long")
+    lv = bfs_levels_tagged(spark, edges_canon, seed_df, max_depth=max_depth)
     return (
-        alld.groupBy(F.col("level").cast("long").alias("dist"))
+        lv.filter(F.col("level") > 0)
+        .groupBy(F.col("level").cast("long").alias("dist"))
         .agg(F.count("*").alias("n_pairs"))
     )
 
@@ -150,20 +259,16 @@ def harmonic_centrality(
     harmonic = round(Σ_{p ∈ seeds, d(p,v)>0} round(1/d(p,v), 12), 9) —
     per-term rounding + exact DECIMAL summation keeps the value
     independent of shuffle order (cross-engine oracle discipline).
-    Vertices unreachable from every seed are absent. One BFS per pivot —
-    the estimator's cost is |seeds| × O(diameter) rounds by design."""
+    Vertices unreachable from every seed are absent. One tagged
+    multi-seed BFS loop covers the whole pivot set."""
     if not seeds:
         raise ValueError("harmonic_centrality needs a non-empty pivot set")
-    from graphanalytics_spark.operators.bfs import bfs_levels
+    from graphanalytics_spark.operators.bfs import bfs_levels_tagged
 
-    per_seed = []
-    for p in seeds:
-        seed_df = spark.createDataFrame([(int(p),)], "vid long")
-        lv = bfs_levels(spark, edges_canon, seeds=seed_df, max_depth=max_depth)
-        per_seed.append(lv.filter(F.col("level") > 0).select("vid", "level"))
-    alld = per_seed[0]
-    for d in per_seed[1:]:
-        alld = alld.unionByName(d)
+    seed_df = spark.createDataFrame([(int(p),) for p in seeds], "vid long")
+    alld = bfs_levels_tagged(
+        spark, edges_canon, seed_df, max_depth=max_depth
+    ).filter(F.col("level") > 0).select("vid", "level")
     return (
         alld.select(
             "vid",

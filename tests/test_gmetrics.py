@@ -165,6 +165,51 @@ def test_reciprocity_empty(spark):
     assert row["reciprocity"] == 0.0
 
 
+def test_hyperball_per_vertex_matches_exact_on_small_graph(spark):
+    """Sparse-mode HLL is exact at these cardinalities, so the per-vertex
+    HyperBall harmonic/closeness must equal the brute-force BFS values."""
+    from graphanalytics_spark.operators.hyperball import hyperball_per_vertex
+
+    pairs = [(0, 1), (1, 2), (2, 3), (4, 5)]
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+
+    def dist_from(s):
+        d, frontier = {s: 0}, [s]
+        while frontier:
+            nxt = []
+            for v in frontier:
+                for u in adj[v]:
+                    if u not in d:
+                        d[u] = d[v] + 1
+                        nxt.append(u)
+            frontier = nxt
+        return d
+
+    df = spark.createDataFrame(
+        [(a, b, 1.0) for a, b in pairs], "src long, dst long, weight double"
+    )
+    rows = {
+        r["vid"]: r
+        for r in hyperball_per_vertex(
+            spark, graph.canonicalize(df), max_t=10
+        ).collect()
+    }
+    assert set(rows) == set(adj)
+    for v in adj:
+        d = dist_from(v)
+        reach = {u: dv for u, dv in d.items() if dv > 0}
+        harmonic = sum(1.0 / dv for dv in reach.values())
+        sum_dist = float(sum(reach.values()))
+        r = rows[v]
+        assert r["n_reachable"] == len(reach)
+        assert abs(r["harmonic"] - harmonic) < 1e-9
+        assert abs(r["sum_dist"] - sum_dist) < 1e-9
+        assert abs(r["closeness"] - len(reach) / sum_dist) < 1e-9
+
+
 def test_hyperball_matches_exact_on_small_graph(spark):
     """At small cardinalities the datasketches HLL is exact (sparse
     mode), so the HyperBall curve must equal the exact neighborhood

@@ -135,6 +135,13 @@ def test_similar_vertices_is_bucket_equijoin(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "LeftSemi" in plan  # hub cap applied join-side
+    # the cap is ON BY DEFAULT (r4 verdict #4): calling with no max_degree
+    # must still compile the semi-join guard
+    default_plan = _plan(graph.similar_vertices(ec, k=3))
+    assert "LeftSemi" in default_plan
+    # and only an explicit None disables it
+    uncapped_plan = _plan(graph.similar_vertices(ec, k=3, max_degree=None))
+    assert "LeftSemi" not in uncapped_plan
 
 
 def test_kcore_round_is_semijoin_pair(spark):

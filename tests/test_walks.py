@@ -84,6 +84,79 @@ def test_indexed_adjacency_contract(spark, wgraph):
         assert adj[r["src"]][r["idx"]] == r["dst"]
 
 
+def _replay_node2vec(adj, walk_id, length, p, q, seed=1):
+    """Pure-python second-order replay with the same scaled-int weights
+    (back=q, common=p*q, forward=p) and LCG pick as the engine."""
+    vid = walk_id
+    out = [(walk_id, 0, vid)]
+    prev = None
+    for t in range(1, length + 1):
+        ns = adj[vid]
+        mix = (
+            (vid % _WALK_M) * _WALK_A
+            + t * _WALK_B
+            + (walk_id % _WALK_M) * _WALK_C
+            + seed
+        ) % _WALK_M
+        if prev is None:
+            nxt = ns[mix % len(ns)]
+        else:
+            ws = []
+            for n in ns:
+                if n == prev:
+                    ws.append(q)
+                elif n in adj[prev]:
+                    ws.append(p * q)
+                else:
+                    ws.append(p)
+            r = mix % sum(ws)
+            cum = 0
+            for n, w in zip(ns, ws):
+                cum += w
+                if r < cum:
+                    nxt = n
+                    break
+        prev, vid = vid, nxt
+        out.append((walk_id, t, vid))
+    return out
+
+
+def test_node2vec_walks_match_replay(spark, wgraph):
+    ec, pairs = wgraph
+    adj = _adj(pairs)
+    expected = sorted(
+        row for v in adj for row in _replay_node2vec(adj, v, 4, p=2, q=3)
+    )
+    got = sorted(
+        (r["walk_id"], r["step"], r["vid"])
+        for r in walks.node2vec_walks(
+            spark, ec, walk_length=4, p=2, q=3
+        ).collect()
+    )
+    assert got == expected
+
+
+def test_node2vec_walks_are_real_walks(spark, wgraph):
+    ec, pairs = wgraph
+    adj = _adj(pairs)
+    rows = walks.node2vec_walks(spark, ec, walk_length=5, p=1, q=4).collect()
+    by_walk = {}
+    for r in rows:
+        by_walk.setdefault(r["walk_id"], {})[r["step"]] = r["vid"]
+    assert set(by_walk) == set(adj)
+    for wid, steps in by_walk.items():
+        assert set(steps) == set(range(6)), "exactly one vid per step"
+        assert steps[0] == wid
+        for t in range(1, 6):
+            assert steps[t] in adj[steps[t - 1]], "each hop is an edge"
+
+
+def test_node2vec_rejects_nonpositive_pq(spark, wgraph):
+    ec, _ = wgraph
+    with pytest.raises(ValueError):
+        walks.node2vec_walks(spark, ec, p=0)
+
+
 def test_harmonic_matches_bruteforce(spark, wgraph):
     ec, pairs = wgraph
     adj = _adj(pairs)
