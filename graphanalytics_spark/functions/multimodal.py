@@ -148,29 +148,59 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
-def _unfilter_row(ft: int, cur: list[int], prev: list[int], bpp: int) -> list[int]:
-    n = len(cur)
+def _unfilter_row(
+    ft: int, cur: np.ndarray, prev: np.ndarray, bpp: int
+) -> np.ndarray:
+    """Reverse one PNG row filter. ``cur``/``prev`` are uint8 arrays of
+    length w·bpp; returns the reconstructed uint8 row.
+
+    Vectorized where the data dependence allows (r4 verdict #7): None/Up
+    are whole-row uint8 ops (wrapping add IS the mod-256 the spec wants);
+    Sub is a per-lane modular prefix sum (cumsum in uint8 wraps, so one
+    cumsum per channel lane reverses the whole row). Measured on 256×256
+    RGB: 33× / 353× / 47× vs the per-byte loops (BENCH/BASELINE.md §PNG).
+    Average/Paeth carry a true sequential dependency on the left-neighbor
+    OUTPUT byte, and numpy ops on bpp-length arrays are slower than
+    scalar ints (measured 0.2×), so they stay scalar loops — SCOPE: this
+    stdlib codec exists for the decode-gate fixtures and small-asset
+    decoding; bulk Paeth-heavy raster decode wants a real codec library
+    (PIL/opencv), not this path. Throughput is per-row; mapInPandas
+    parallelism across images is unaffected."""
     if ft == 0:
-        return list(cur)
-    if ft == 2:  # Up
-        return [(cur[x] + prev[x]) & 0xFF for x in range(n)]
+        return cur.copy()
+    if ft == 2:  # Up: wrapping uint8 add = (cur + prev) mod 256
+        return cur + prev
+    if ft == 1:  # Sub: out[x] = cur[x] + out[x-bpp] -> per-lane cumsum
+        return np.cumsum(
+            cur.reshape(-1, bpp), axis=0, dtype=np.uint8
+        ).reshape(-1)
+    n = len(cur)
+    c = cur.tolist()
+    pv = prev.tolist()
     out = [0] * n
-    if ft == 1:  # Sub
+    if ft == 3:  # Average
         for x in range(n):
             left = out[x - bpp] if x >= bpp else 0
-            out[x] = (cur[x] + left) & 0xFF
-    elif ft == 3:  # Average
-        for x in range(n):
-            left = out[x - bpp] if x >= bpp else 0
-            out[x] = (cur[x] + ((left + prev[x]) >> 1)) & 0xFF
+            out[x] = (c[x] + ((left + pv[x]) >> 1)) & 0xFF
     elif ft == 4:  # Paeth
         for x in range(n):
             a = out[x - bpp] if x >= bpp else 0
-            c = prev[x - bpp] if x >= bpp else 0
-            out[x] = (cur[x] + _paeth(a, prev[x], c)) & 0xFF
+            cc = pv[x - bpp] if x >= bpp else 0
+            b = pv[x]
+            p = a + b - cc
+            pa = p - a if p >= a else a - p
+            pb = p - b if p >= b else b - p
+            pc = p - cc if p >= cc else cc - p
+            if pa <= pb and pa <= pc:
+                pred = a
+            elif pb <= pc:
+                pred = b
+            else:
+                pred = cc
+            out[x] = (c[x] + pred) & 0xFF
     else:
         raise DecodeUnavailable(f"PNG: unknown filter type {ft}")
-    return out
+    return np.asarray(out, dtype=np.uint8)
 
 
 def decode_image(payload: bytes) -> np.ndarray:
@@ -225,15 +255,13 @@ def decode_image(payload: bytes) -> np.ndarray:
     stride = w * bpp
     if len(raw) != h * (stride + 1):
         raise DecodeUnavailable("PNG: IDAT size does not match dimensions")
-    rows = []
-    prev = [0] * stride
+    data = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    px = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
     for y in range(h):
-        off = y * (stride + 1)
-        ft = raw[off]
-        cur = list(raw[off + 1: off + 1 + stride])
-        prev = _unfilter_row(ft, cur, prev, bpp)
-        rows.append(prev)
-    px = np.array(rows, dtype=np.uint8).reshape(h, w, bpp)
+        prev = _unfilter_row(int(data[y, 0]), data[y, 1:], prev, bpp)
+        px[y] = prev
+    px = px.reshape(h, w, bpp)
     if color == 3:
         if palette is None:
             raise DecodeUnavailable("PNG: palette image without PLTE")

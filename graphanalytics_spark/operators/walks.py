@@ -46,18 +46,70 @@ _WALK_C = 69069
 _WALK_M = 2147483647
 
 
-def indexed_adjacency(edges_canon: DataFrame) -> DataFrame:
+def indexed_adjacency(
+    edges_canon: DataFrame, hub_safe: bool = False
+) -> DataFrame:
     """Symmetrized adjacency with a dense per-vertex neighbor index:
     (src, dst, idx, deg), idx ∈ [0, deg) ordered by dst — the lookup
-    table a walk step joins against. The window partitions by src (V-way
-    parallel, each partition one vertex's neighbor list)."""
+    table a walk step joins against.
+
+    Default path: one window partitioned by src (V-way parallel, each
+    window partition one vertex's neighbor list). Hub bound: a vertex's
+    whole list sorts in ONE task, so the default is right while
+    max-degree rows fit a task (~10⁷ neighbors ≈ 160 MB); past that pass
+    ``hub_safe=True``.
+
+    ``hub_safe`` path (the dense_ids two-pass prefix specialized to
+    per-src ranges, r4 verdict #9): range-partition + sort by (src, dst)
+    so every storage partition holds a contiguous slice of the order,
+    take per-(partition, src) counts (≤ V + P rows), prefix-sum them into
+    base offsets with a window over the ≤P partitions spanning each src,
+    and add the within-(partition, src) local rank. Every window
+    partition is bounded by the STORAGE partition size
+    (maxPartitionBytes), never by hub degree — a 10⁸-degree hub's list
+    spans many range partitions, each indexed independently. Costs two
+    extra shuffles of E, which is why it is opt-in rather than the
+    default. Identical output to the default path (same (src, dst)
+    order), asserted by test."""
     sym = symmetrize(edges_canon).select("src", "dst")
-    w = Window.partitionBy("src").orderBy("dst")
-    return sym.select(
+    if not hub_safe:
+        w = Window.partitionBy("src").orderBy("dst")
+        return sym.select(
+            "src",
+            "dst",
+            (F.row_number().over(w) - 1).alias("idx"),
+            F.count("*").over(Window.partitionBy("src")).alias("deg"),
+        )
+    spark = sym.sparkSession
+    n_part = spark.sparkContext.defaultParallelism
+    # eager localCheckpoint: the pid column must stay consistent between
+    # the counts pass and the final join (dense_ids discipline)
+    srt = (
+        sym.repartitionByRange(n_part, "src", "dst")
+        .sortWithinPartitions("src", "dst")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    cnt = srt.groupBy("pid", "src").agg(F.count("*").alias("n"))
+    # range partitions are numbered in key order, so pid ascending is
+    # (src, dst) ascending: base = rows of this src in earlier partitions
+    w_base = Window.partitionBy("src").orderBy("pid")
+    base = cnt.select(
+        "pid",
         "src",
-        "dst",
-        (F.row_number().over(w) - 1).alias("idx"),
-        F.count("*").over(Window.partitionBy("src")).alias("deg"),
+        (F.sum("n").over(w_base) - F.col("n")).alias("base"),
+    )
+    deg = cnt.groupBy("src").agg(F.sum("n").alias("deg"))
+    w_local = Window.partitionBy("pid", "src").orderBy("dst")
+    return (
+        srt.join(base, ["pid", "src"])
+        .join(deg, "src")
+        .select(
+            "src",
+            "dst",
+            (F.row_number().over(w_local) - 1 + F.col("base")).alias("idx"),
+            "deg",
+        )
     )
 
 

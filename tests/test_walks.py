@@ -84,6 +84,25 @@ def test_indexed_adjacency_contract(spark, wgraph):
         assert adj[r["src"]][r["idx"]] == r["dst"]
 
 
+def test_indexed_adjacency_hub_safe_identical(spark):
+    """The two-pass hub-safe path must emit exactly the window path's
+    rows — including on a hub whose neighbor list spans several range
+    partitions."""
+    hub_edges = [(0, d, 1.0) for d in range(1, 200)] + [
+        (d, d + 1, 1.0) for d in range(1, 199)
+    ]
+    ec = graph.canonicalize(
+        spark.createDataFrame(hub_edges, "src long, dst long, weight double")
+    )
+    default_rows = sorted(
+        map(tuple, walks.indexed_adjacency(ec, hub_safe=False).collect())
+    )
+    safe_rows = sorted(
+        map(tuple, walks.indexed_adjacency(ec, hub_safe=True).collect())
+    )
+    assert default_rows == safe_rows
+
+
 def _replay_node2vec(adj, walk_id, length, p, q, seed=1):
     """Pure-python second-order replay with the same scaled-int weights
     (back=q, common=p*q, forward=p) and LCG pick as the engine."""
