@@ -2430,6 +2430,54 @@ w0 AS (SELECT DISTINCT src AS walk_id, CAST(0 AS BIGINT) AS step, src AS vid
 {union}"""
 
 
+def _ktruss_q(spark, sf_dir):
+    """k-truss of the sparse graph (operators/ktruss.py): synchronous
+    per-edge triangle-support peel; converged state is a fixed point, so
+    the fixed-round SQL unroll (2 rounds to converge at sf0.01 + 2 slack)
+    is an exact oracle — the kcore_q technique at edge granularity."""
+    from graphanalytics_spark.operators.ktruss import ktruss
+
+    return ktruss(spark, _graph_sparse(spark, sf_dir), k=3).select(
+        "src", "dst", F.col("support").cast("long").alias("support")
+    )
+
+
+def _ktruss_sql(k: int = 3, rounds: int = 4) -> str:
+    need = k - 2
+    steps = []
+    for r in range(rounds):
+        steps.append(
+            f"""t{r} AS (
+  SELECT a.src AS a, a.dst AS b, b2.dst AS c
+  FROM e{r} a JOIN e{r} b2 ON b2.src = a.dst
+  JOIN e{r} c0 ON c0.src = a.src AND c0.dst = b2.dst),
+s{r} AS (
+  SELECT src, dst, count(*) AS sup FROM (
+    SELECT a AS src, b AS dst FROM t{r}
+    UNION ALL SELECT b, c FROM t{r}
+    UNION ALL SELECT a, c FROM t{r}) GROUP BY 1, 2),
+e{r + 1} AS MATERIALIZED (
+  SELECT x.src, x.dst FROM e{r} x LEFT JOIN s{r} s
+  ON s.src = x.src AND s.dst = x.dst
+  WHERE coalesce(s.sup, 0) >= {need})"""
+        )
+    steps_sql = ",\n".join(steps)
+    return f"""WITH {_ES},
+e0 AS (SELECT src, dst FROM e),
+{steps_sql},
+tf AS (
+  SELECT a.src AS a, a.dst AS b, b2.dst AS c
+  FROM e{rounds} a JOIN e{rounds} b2 ON b2.src = a.dst
+  JOIN e{rounds} c0 ON c0.src = a.src AND c0.dst = b2.dst),
+sf AS (
+  SELECT src, dst, count(*) AS sup FROM (
+    SELECT a AS src, b AS dst FROM tf
+    UNION ALL SELECT b, c FROM tf
+    UNION ALL SELECT a, c FROM tf) GROUP BY 1, 2)
+SELECT x.src, x.dst, CAST(coalesce(s.sup, 0) AS BIGINT) AS support
+FROM e{rounds} x LEFT JOIN sf s ON s.src = x.src AND s.dst = x.dst"""
+
+
 def _node2vec_walks_q(spark, sf_dir):
     """Second-order node2vec-biased walks (operators/walks.py:
     node2vec_walks): back/common/forward candidates weighted q / p·q / p
@@ -2774,6 +2822,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # supersedes it with an invariant gate (r3 verdict "wrong" #2).
     return {
         # -- new in r5 --
+        "ktruss_q": _ktruss_q,
         "louvain_quality_q": _louvain_quality_q,
         "node2vec_walks_q": _node2vec_walks_q,
         "hyperball_closeness_q": _hyperball_closeness_q,
@@ -2827,9 +2876,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_sample_plan": _frame_sample_plan,
         "pajek_roundtrip": _pajek_roundtrip,
         "read_mtx_fixture": _read_mtx_fixture,
-        "read_dimacs9_fixture": _read_dimacs9_fixture,
         # ---- 50-row window boundary ----
         # double-green with a recent (r4) row — evidence of record stands
+        "read_dimacs9_fixture": _read_dimacs9_fixture,
         "read_snap_fixture": _read_snap_fixture,
         "simhash_near_pairs": _simhash_near,
         "ann_lsh_topk": _ann_topk,
@@ -2881,6 +2930,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "ktruss_q": _ktruss_sql(k=3, rounds=4),
         "louvain_quality_q": _louvain_quality_sql(),
         "node2vec_walks_q": _node2vec_sql(),
         "hyperball_closeness_q": _HYPERBALL_CLOSENESS_SQL,

@@ -1,5 +1,6 @@
 """Graph-metric operators vs brute-force python oracles: k-core peeling,
-local/global clustering coefficients, degree assortativity, reciprocity."""
+k-truss support peeling, local/global clustering coefficients, degree
+assortativity, reciprocity."""
 
 import numpy as np
 import pytest
@@ -77,6 +78,70 @@ def test_kcore_planted_clique(spark):
     got = {r["vid"]: r["core_degree"] for r in kcore(spark, df, k=5).collect()}
     assert got == {v: 5 for v in range(6)}
     assert kcore(spark, df, k=7).count() == 0
+
+
+def _truss_peel(pairs, k):
+    """Brute-force k-truss: drop edges with < k-2 triangles until fixed."""
+    edges = set(pairs)
+
+    def support(e, es):
+        a, b = e
+        nbrs = lambda v: {x for (p, q) in es for x in ((q,) if p == v else (p,) if q == v else ())}
+        return len(nbrs(a) & nbrs(b))
+
+    changed = True
+    while changed:
+        sup = {e: support(e, edges) for e in edges}
+        keep = {e for e in edges if sup[e] >= k - 2}
+        changed = keep != edges
+        edges = keep
+    return {e: support(e, edges) for e in edges}
+
+
+def test_ktruss_matches_bruteforce(spark, gm_graph):
+    from graphanalytics_spark.operators.ktruss import ktruss
+
+    ec, pairs, n = gm_graph
+    for k in (3, 4):
+        expected = _truss_peel(pairs, k)
+        got = {
+            (r["src"], r["dst"]): r["support"]
+            for r in ktruss(spark, ec, k=k).collect()
+        }
+        assert got == expected
+
+
+def test_ktruss_planted_clique(spark):
+    from graphanalytics_spark.operators.ktruss import ktruss
+
+    # 5-clique + pendant path: the 4-truss is exactly the clique (every
+    # clique edge sits in 3 triangles), and no 6-truss exists
+    clique = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    path = [(4, 5), (5, 6)]
+    df = spark.createDataFrame(
+        [(a, b, 1.0) for a, b in clique + path],
+        "src long, dst long, weight double",
+    )
+    got = {
+        (r["src"], r["dst"]): r["support"]
+        for r in ktruss(spark, df, k=4).collect()
+    }
+    assert got == {(a, b): 3 for (a, b) in clique}
+    assert ktruss(spark, df, k=6).count() == 0
+
+
+def test_ktruss_k2_keeps_everything_with_support(spark):
+    from graphanalytics_spark.operators.ktruss import ktruss
+
+    df = spark.createDataFrame(
+        [(0, 1, 1.0), (1, 2, 1.0), (0, 2, 1.0), (2, 3, 1.0)],
+        "src long, dst long, weight double",
+    )
+    got = {
+        (r["src"], r["dst"]): r["support"]
+        for r in ktruss(spark, df, k=2).collect()
+    }
+    assert got == {(0, 1): 1, (0, 2): 1, (1, 2): 1, (2, 3): 0}
 
 
 def test_clustering_local_matches_bruteforce(spark, gm_graph):

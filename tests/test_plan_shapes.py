@@ -144,6 +144,22 @@ def test_similar_vertices_is_bucket_equijoin(spark):
     assert "LeftSemi" not in uncapped_plan
 
 
+def test_ktruss_round_is_equijoin_only(spark):
+    """One support-peel round = a<b<c triangle equi-joins + hash agg +
+    left join filter — never a cartesian shape."""
+    from graphanalytics_spark.operators.ktruss import ktruss
+
+    ec = graph.canonicalize(
+        spark.createDataFrame(
+            [(0, 1, 1.0), (1, 2, 1.0), (0, 2, 1.0), (2, 3, 1.0)],
+            "src long, dst long, weight double",
+        )
+    )
+    plan = _plan(ktruss(spark, ec, k=3, max_rounds=1))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_kcore_round_is_semijoin_pair(spark):
     """One peel round = degree hash-agg + two left-semi filters on the
     edge set — never a cartesian shape."""
