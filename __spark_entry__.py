@@ -2430,6 +2430,40 @@ w0 AS (SELECT DISTINCT src AS walk_id, CAST(0 AS BIGINT) AS step, src AS vid
 {union}"""
 
 
+def _coloring_cert(spark, sf_dir):
+    """Distance-1 coloring certificate (operators/coloring.py — grappolo's
+    algoDistanceOneVertexColoringOpt as deterministic Jones–Plassmann,
+    coloringDistanceOne.cpp:52-149): n_vertices is recomputed by the
+    oracle from the graph (real SQL-derived column); the three invariant
+    counts must be zero — proper (no same-color edge), total (every
+    vertex colored), Grundy-tight (every color below one's own appears
+    next door ⇒ ≤ Δ+1 colors). The mis_verified technique."""
+    from graphanalytics_spark.operators.coloring import (
+        greedy_coloring,
+        verify_coloring,
+    )
+
+    e = _graph_sparse(spark, sf_dir).persist()
+    col = greedy_coloring(spark, e)
+    v = verify_coloring(spark, e, col)
+    n = graph.symmetrize(e).select("src").distinct().count()
+    e.unpersist()
+    return spark.createDataFrame(
+        [(int(n), v["conflicts"], v["uncolored"], v["grundy_violations"])],
+        "n_vertices bigint, conflicts bigint, uncolored bigint, "
+        "grundy_violations bigint",
+    )
+
+
+_COLORING_CERT_SQL = f"""WITH {_ES},
+sym AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e)
+SELECT count(DISTINCT src) AS n_vertices,
+  CAST(0 AS BIGINT) AS conflicts,
+  CAST(0 AS BIGINT) AS uncolored,
+  CAST(0 AS BIGINT) AS grundy_violations
+FROM sym"""
+
+
 def _ktruss_q(spark, sf_dir):
     """k-truss of the sparse graph (operators/ktruss.py): synchronous
     per-edge triangle-support peel; converged state is a fixed point, so
@@ -2822,6 +2856,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # supersedes it with an invariant gate (r3 verdict "wrong" #2).
     return {
         # -- new in r5 --
+        "coloring_cert": _coloring_cert,
         "ktruss_q": _ktruss_q,
         "louvain_quality_q": _louvain_quality_q,
         "node2vec_walks_q": _node2vec_walks_q,
@@ -2875,9 +2910,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_payload_stats": _multimodal_payload_stats,
         "frame_sample_plan": _frame_sample_plan,
         "pajek_roundtrip": _pajek_roundtrip,
-        "read_mtx_fixture": _read_mtx_fixture,
         # ---- 50-row window boundary ----
         # double-green with a recent (r4) row — evidence of record stands
+        "read_mtx_fixture": _read_mtx_fixture,
         "read_dimacs9_fixture": _read_dimacs9_fixture,
         "read_snap_fixture": _read_snap_fixture,
         "simhash_near_pairs": _simhash_near,
@@ -2930,6 +2965,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "coloring_cert": _COLORING_CERT_SQL,
         "ktruss_q": _ktruss_sql(k=3, rounds=4),
         "louvain_quality_q": _louvain_quality_sql(),
         "node2vec_walks_q": _node2vec_sql(),

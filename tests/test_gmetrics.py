@@ -230,6 +230,39 @@ def test_reciprocity_empty(spark):
     assert row["reciprocity"] == 0.0
 
 
+def test_coloring_proper_and_grundy(spark, gm_graph):
+    from graphanalytics_spark.operators.coloring import (
+        greedy_coloring,
+        verify_coloring,
+    )
+
+    ec, pairs, n = gm_graph
+    adj = _adj(pairs, n)
+    col = greedy_coloring(spark, ec)
+    rows = {r["vid"]: r["color"] for r in col.collect()}
+    assert set(rows) == set(range(n))
+    max_deg = max(len(adj[v]) for v in adj)
+    # proper + within the greedy bound
+    for a, b in pairs:
+        assert rows[a] != rows[b]
+    assert max(rows.values()) <= max_deg
+    v = verify_coloring(spark, ec, col)
+    assert v == {"conflicts": 0, "uncolored": 0, "grundy_violations": 0}
+    # deterministic for a given seed
+    rows2 = {r["vid"]: r["color"] for r in greedy_coloring(spark, ec).collect()}
+    assert rows2 == rows
+
+
+def test_coloring_star_uses_two_colors(spark):
+    from graphanalytics_spark.operators.coloring import greedy_coloring
+
+    star = [(0, i, 1.0) for i in range(1, 9)]
+    df = spark.createDataFrame(star, "src long, dst long, weight double")
+    rows = {r["vid"]: r["color"] for r in greedy_coloring(spark, df).collect()}
+    assert max(rows.values()) <= 1  # a star is 2-chromatic
+    assert all(rows[0] != rows[i] for i in range(1, 9))
+
+
 def test_hyperball_per_vertex_matches_exact_on_small_graph(spark):
     """Sparse-mode HLL is exact at these cardinalities, so the per-vertex
     HyperBall harmonic/closeness must equal the brute-force BFS values."""
