@@ -2430,6 +2430,33 @@ w0 AS (SELECT DISTINCT src AS walk_id, CAST(0 AS BIGINT) AS step, src AS vid
 {union}"""
 
 
+def _betweenness_q(spark, sf_dir):
+    """Exact Brandes betweenness (operators/betweenness.py — tagged
+    multi-seed BFS + per-level σ forward / δ backward sweeps) on a
+    planted two-component graph whose betweenness has a CLOSED FORM the
+    oracle states independently: a 12-path (internal vertex i carries
+    2·i·(11−i) ordered-pair dependency) plus an 8-leaf star (center
+    carries 8·7 = 56). Every σ/δ join path is exercised — multi-level
+    chains, branchless paths, a high-fanout hub — and the values must
+    match to 9 decimals."""
+    from graphanalytics_spark.operators.betweenness import betweenness
+
+    rows = [(i, i + 1, 1.0) for i in range(11)] + [
+        (100, 100 + i, 1.0) for i in range(1, 9)
+    ]
+    e = graph.canonicalize(
+        spark.createDataFrame(rows, "src long, dst long, weight double")
+    )
+    return betweenness(spark, e)
+
+
+_BETWEENNESS_SQL = """SELECT CAST(i.range AS BIGINT) AS vid,
+  round(2.0 * i.range * (11 - i.range), 9) AS betweenness
+FROM range(1, 11) i
+UNION ALL
+SELECT CAST(100 AS BIGINT), 56.0"""
+
+
 def _coloring_cert(spark, sf_dir):
     """Distance-1 coloring certificate (operators/coloring.py — grappolo's
     algoDistanceOneVertexColoringOpt as deterministic Jones–Plassmann,
@@ -2856,6 +2883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # supersedes it with an invariant gate (r3 verdict "wrong" #2).
     return {
         # -- new in r5 --
+        "betweenness_q": _betweenness_q,
         "coloring_cert": _coloring_cert,
         "ktruss_q": _ktruss_q,
         "louvain_quality_q": _louvain_quality_q,
@@ -2909,9 +2937,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppr_5iter": _ppr_5iter,
         "multimodal_payload_stats": _multimodal_payload_stats,
         "frame_sample_plan": _frame_sample_plan,
-        "pajek_roundtrip": _pajek_roundtrip,
         # ---- 50-row window boundary ----
         # double-green with a recent (r4) row — evidence of record stands
+        "pajek_roundtrip": _pajek_roundtrip,
         "read_mtx_fixture": _read_mtx_fixture,
         "read_dimacs9_fixture": _read_dimacs9_fixture,
         "read_snap_fixture": _read_snap_fixture,
@@ -2965,6 +2993,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "betweenness_q": _BETWEENNESS_SQL,
         "coloring_cert": _COLORING_CERT_SQL,
         "ktruss_q": _ktruss_sql(k=3, rounds=4),
         "louvain_quality_q": _louvain_quality_sql(),

@@ -230,6 +230,95 @@ def test_reciprocity_empty(spark):
     assert row["reciprocity"] == 0.0
 
 
+def _brandes(adj, nodes):
+    """Reference Brandes (ordered pairs), plain python."""
+    import collections
+
+    bc = {v: 0.0 for v in nodes}
+    for s in nodes:
+        S = []
+        P = {v: [] for v in nodes}
+        sigma = {v: 0.0 for v in nodes}
+        sigma[s] = 1.0
+        d = {v: -1 for v in nodes}
+        d[s] = 0
+        Q = collections.deque([s])
+        while Q:
+            v = Q.popleft()
+            S.append(v)
+            for w in adj[v]:
+                if d[w] < 0:
+                    d[w] = d[v] + 1
+                    Q.append(w)
+                if d[w] == d[v] + 1:
+                    sigma[w] += sigma[v]
+                    P[w].append(v)
+        delta = {v: 0.0 for v in nodes}
+        while S:
+            w = S.pop()
+            for v in P[w]:
+                delta[v] += sigma[v] / sigma[w] * (1 + delta[w])
+            if w != s:
+                bc[w] += delta[w]
+    return bc
+
+
+def test_betweenness_matches_brandes(spark, gm_graph):
+    from graphanalytics_spark.operators.betweenness import betweenness
+
+    ec, pairs, n = gm_graph
+    adj = _adj(pairs, n)
+    expected = _brandes(adj, list(range(n)))
+    got = {
+        r["vid"]: r["betweenness"]
+        for r in betweenness(spark, ec).collect()
+    }
+    for v in range(n):
+        assert abs(got.get(v, 0.0) - expected[v]) < 1e-6, v
+
+
+def test_betweenness_sampled_pivots(spark, gm_graph):
+    from graphanalytics_spark.operators.betweenness import betweenness
+
+    ec, pairs, n = gm_graph
+    adj = _adj(pairs, n)
+    seeds = [0, 7, 21]
+    # per-pivot dependency sums for just those sources
+    import collections
+
+    expected = {v: 0.0 for v in adj}
+    for s in seeds:
+        S, P = [], {v: [] for v in adj}
+        sigma = {v: 0.0 for v in adj}
+        sigma[s] = 1.0
+        d = {v: -1 for v in adj}
+        d[s] = 0
+        Q = collections.deque([s])
+        while Q:
+            v = Q.popleft()
+            S.append(v)
+            for w in adj[v]:
+                if d[w] < 0:
+                    d[w] = d[v] + 1
+                    Q.append(w)
+                if d[w] == d[v] + 1:
+                    sigma[w] += sigma[v]
+                    P[w].append(v)
+        delta = {v: 0.0 for v in adj}
+        while S:
+            w = S.pop()
+            for v in P[w]:
+                delta[v] += sigma[v] / sigma[w] * (1 + delta[w])
+            if w != s:
+                expected[w] += delta[w]
+    got = {
+        r["vid"]: r["betweenness"]
+        for r in betweenness(spark, ec, seeds=seeds).collect()
+    }
+    for v in adj:
+        assert abs(got.get(v, 0.0) - expected[v]) < 1e-6, v
+
+
 def test_coloring_proper_and_grundy(spark, gm_graph):
     from graphanalytics_spark.operators.coloring import (
         greedy_coloring,
