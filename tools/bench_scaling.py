@@ -172,7 +172,16 @@ def main():
     }
     print(json.dumps(report, indent=2))
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    # everything from the marker line down is hand-written round narrative
+    # — preserve it across regenerations of the measured section above it
+    marker = "<!-- ROUND NOTES (preserved by tools/bench_scaling.py) -->"
+    baseline_path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    appendix = ""
+    if os.path.exists(baseline_path):
+        old = open(baseline_path).read()
+        if marker in old:
+            appendix = old[old.index(marker):]
+    with open(baseline_path, "w") as f:
         f.write(
             f"""# BENCH baseline — scaling evidence
 
@@ -236,6 +245,8 @@ per-iteration state join + hash aggregation) scales with partition count —
 at 1000 executors only the vertex-state table moves per iteration.
 """
         )
+        if appendix:
+            f.write("\n" + appendix)
     print("wrote BENCH/BASELINE.md")
 
 
