@@ -2430,6 +2430,47 @@ w0 AS (SELECT DISTINCT src AS walk_id, CAST(0 AS BIGINT) AS step, src AS vid
 {union}"""
 
 
+def _hits_5iter(spark, sf_dir):
+    """Fixed-iteration HITS hubs/authorities (operators/hits.py) on the
+    directed repo→repo ingest link graph — per-half-step L2
+    normalization with 12-decimal re-rounding quenches cross-engine
+    float drift, so the DuckDB unroll matches at the output's 9-decimal
+    rounding (the pagerank_5iter technique for the eigenvector pair)."""
+    from graphanalytics_spark import ingest
+    from graphanalytics_spark.operators.hits import hits
+
+    edges, _dim = ingest.build_edges(spark.read.parquet(_ensure_repos_fixture()))
+    return hits(spark, edges, iterations=5)
+
+
+def _hits_sql(iterations: int = 5) -> str:
+    steps = []
+    prev = "h0"
+    for it in range(1, iterations + 1):
+        for vec, gather, emit in ((f"a{it}", "src", "dst"), (f"h{it}", "dst", "src")):
+            src_scores = prev
+            steps.append(
+                f"""{vec}_raw AS (
+  SELECT e.{emit} AS vid, sum(e.weight * s.score) AS s
+  FROM e JOIN {src_scores} s ON s.vid = e.{gather} GROUP BY 1),
+{vec}_full AS (
+  SELECT v.vid, coalesce(r.s, 0.0) AS s
+  FROM verts v LEFT JOIN {vec}_raw r ON r.vid = v.vid),
+{vec} AS MATERIALIZED (
+  SELECT vid, round(s / (CASE WHEN n > 0 THEN n ELSE 1 END), 12) AS score
+  FROM {vec}_full, (SELECT sqrt(sum(s * s)) AS n FROM {vec}_full))"""
+            )
+            prev = vec
+    steps_sql = ",\n".join(steps)
+    return f"""WITH e AS ({_ingest_sql()}),
+verts AS (SELECT DISTINCT vid FROM (
+  SELECT src AS vid FROM e UNION ALL SELECT dst FROM e)),
+h0 AS (SELECT vid, 1.0 AS score FROM verts),
+{steps_sql}
+SELECT a.vid, round(a.score, 9) AS authority, round(h.score, 9) AS hub
+FROM a{iterations} a JOIN h{iterations} h ON h.vid = a.vid"""
+
+
 def _betweenness_q(spark, sf_dir):
     """Exact Brandes betweenness (operators/betweenness.py — tagged
     multi-seed BFS + per-level σ forward / δ backward sweeps) on a
@@ -2883,6 +2924,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # supersedes it with an invariant gate (r3 verdict "wrong" #2).
     return {
         # -- new in r5 --
+        "hits_5iter": _hits_5iter,
         "betweenness_q": _betweenness_q,
         "coloring_cert": _coloring_cert,
         "ktruss_q": _ktruss_q,
@@ -2936,9 +2978,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_verified": _near_dup_verified,
         "ppr_5iter": _ppr_5iter,
         "multimodal_payload_stats": _multimodal_payload_stats,
-        "frame_sample_plan": _frame_sample_plan,
         # ---- 50-row window boundary ----
         # double-green with a recent (r4) row — evidence of record stands
+        "frame_sample_plan": _frame_sample_plan,
         "pajek_roundtrip": _pajek_roundtrip,
         "read_mtx_fixture": _read_mtx_fixture,
         "read_dimacs9_fixture": _read_dimacs9_fixture,
@@ -2993,6 +3035,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "hits_5iter": _hits_sql(),
         "betweenness_q": _BETWEENNESS_SQL,
         "coloring_cert": _COLORING_CERT_SQL,
         "ktruss_q": _ktruss_sql(k=3, rounds=4),

@@ -230,6 +230,38 @@ def test_reciprocity_empty(spark):
     assert row["reciprocity"] == 0.0
 
 
+def test_hits_matches_numpy_replay(spark):
+    from graphanalytics_spark.operators.hits import hits
+
+    edges = [
+        (0, 1, 2.0), (0, 2, 1.0), (1, 2, 1.0), (2, 0, 1.0),
+        (3, 2, 1.0), (3, 1, 1.0), (1, 3, 1.0),
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long, weight double")
+    verts = sorted({v for e in edges for v in e[:2]})
+    idx = {v: i for i, v in enumerate(verts)}
+    import numpy as np
+
+    W = np.zeros((len(verts), len(verts)))
+    for s, d, w in edges:
+        W[idx[s], idx[d]] = w
+    h = np.ones(len(verts))
+    a = None
+    for _ in range(5):
+        a = W.T @ h
+        a = np.round(a / (np.linalg.norm(a) or 1.0), 12)
+        h = W @ a
+        h = np.round(h / (np.linalg.norm(h) or 1.0), 12)
+    got = {r["vid"]: r for r in hits(spark, df, iterations=5).collect()}
+    assert set(got) == set(verts)
+    for v in verts:
+        assert abs(got[v]["authority"] - round(float(a[idx[v]]), 9)) < 1e-9
+        assert abs(got[v]["hub"] - round(float(h[idx[v]]), 9)) < 1e-9
+    # L2 normalization holds
+    assert abs(sum(got[v]["authority"] ** 2 for v in verts) - 1.0) < 1e-6
+    assert abs(sum(got[v]["hub"] ** 2 for v in verts) - 1.0) < 1e-6
+
+
 def _brandes(adj, nodes):
     """Reference Brandes (ordered pairs), plain python."""
     import collections
