@@ -2430,6 +2430,78 @@ w0 AS (SELECT DISTINCT src AS walk_id, CAST(0 AS BIGINT) AS step, src AS vid
 {union}"""
 
 
+_SSSP_N = 400
+
+
+def _sssp_edges_py() -> list[tuple[int, int, float]]:
+    """The planted weighted graph, pure-python twin of the Spark
+    construction in _sssp_q: a 400-ring with deterministic integer
+    weights plus every-5th chords — weights from plain integer mixing so
+    both builders produce bit-identical doubles."""
+    n = _SSSP_N
+    rows = [
+        (i, (i + 1) % n, float(1 + (i * 2654435761 % 97) % 9))
+        for i in range(n)
+    ]
+    rows += [
+        (i, (i * 7 + 3) % n, float(1 + (i * 40503 % 89) % 7))
+        for i in range(0, n, 5)
+    ]
+    return rows
+
+
+def _sssp_q(spark, sf_dir):
+    """Weighted SSSP (operators/sssp.py — frontier Bellman–Ford, one
+    equi-join + min-agg + min-merge per round) on a planted 400-vertex
+    weighted ring+chords graph; the oracle holds the LITERAL distance
+    table computed by an independent pure-python Dijkstra over the same
+    deterministic construction (the png_decode technique: expected values
+    derived outside the engine under test). Distances are sums of small
+    ints — exact in double, so the match is equality, not tolerance."""
+    from graphanalytics_spark.operators.sssp import sssp as sssp_op
+
+    n = _SSSP_N
+    ring = spark.range(n).select(
+        F.col("id").alias("src"),
+        ((F.col("id") + 1) % n).alias("dst"),
+        (1 + (F.col("id") * 2654435761) % 97 % 9).cast("double").alias("weight"),
+    )
+    chords = spark.range(0, n, 5).select(
+        F.col("id").alias("src"),
+        ((F.col("id") * 7 + 3) % n).alias("dst"),
+        (1 + (F.col("id") * 40503) % 89 % 7).cast("double").alias("weight"),
+    )
+    e = ring.unionByName(chords)
+    return sssp_op(spark, e, source=0).select(
+        "vid", F.col("dist").cast("double").alias("dist")
+    )
+
+
+def _sssp_sql() -> str:
+    import heapq
+
+    wadj: dict[int, list[tuple[int, float]]] = {}
+    for a, b, w in _sssp_edges_py():
+        wadj.setdefault(a, []).append((b, w))
+        wadj.setdefault(b, []).append((a, w))
+    dist = {0: 0.0}
+    pq = [(0.0, 0)]
+    while pq:
+        d, v = heapq.heappop(pq)
+        if d > dist.get(v, float("inf")):
+            continue
+        for u, w in wadj.get(v, []):
+            nd = d + w
+            if nd < dist.get(u, float("inf")):
+                dist[u] = nd
+                heapq.heappush(pq, (nd, u))
+    vals = ", ".join(
+        f"(CAST({v} AS BIGINT), CAST({dist[v]!r} AS DOUBLE))"
+        for v in sorted(dist)
+    )
+    return f"SELECT * FROM (VALUES {vals}) AS t(vid, dist)"
+
+
 def _hits_5iter(spark, sf_dir):
     """Fixed-iteration HITS hubs/authorities (operators/hits.py) on the
     directed repo→repo ingest link graph — per-half-step L2
@@ -2924,6 +2996,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # supersedes it with an invariant gate (r3 verdict "wrong" #2).
     return {
         # -- new in r5 --
+        "sssp_q": _sssp_q,
         "hits_5iter": _hits_5iter,
         "betweenness_q": _betweenness_q,
         "coloring_cert": _coloring_cert,
@@ -2977,8 +3050,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mis_verified": _mis_verified,
         "near_dup_verified": _near_dup_verified,
         "ppr_5iter": _ppr_5iter,
-        "multimodal_payload_stats": _multimodal_payload_stats,
         # ---- 50-row window boundary ----
+        "multimodal_payload_stats": _multimodal_payload_stats,
         # double-green with a recent (r4) row — evidence of record stands
         "frame_sample_plan": _frame_sample_plan,
         "pajek_roundtrip": _pajek_roundtrip,
@@ -3035,6 +3108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "sssp_q": _sssp_sql(),
         "hits_5iter": _hits_sql(),
         "betweenness_q": _BETWEENNESS_SQL,
         "coloring_cert": _COLORING_CERT_SQL,

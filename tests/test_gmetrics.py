@@ -230,6 +230,59 @@ def test_reciprocity_empty(spark):
     assert row["reciprocity"] == 0.0
 
 
+def _dijkstra(wadj, source):
+    import heapq
+
+    dist = {source: 0.0}
+    pq = [(0.0, source)]
+    while pq:
+        d, v = heapq.heappop(pq)
+        if d > dist.get(v, float("inf")):
+            continue
+        for u, w in wadj.get(v, []):
+            nd = d + w
+            if nd < dist.get(u, float("inf")):
+                dist[u] = nd
+                heapq.heappush(pq, (nd, u))
+    return dist
+
+
+def test_sssp_matches_dijkstra(spark, gm_graph):
+    from graphanalytics_spark.operators.sssp import sssp
+
+    ec, pairs, n = gm_graph
+    # deterministic integer weights derived from the pair
+    weighted = [
+        (a, b, float(1 + (a * 7 + b * 13) % 5)) for a, b in pairs
+    ]
+    df = spark.createDataFrame(weighted, "src long, dst long, weight double")
+    wadj = {}
+    for a, b, w in weighted:
+        wadj.setdefault(a, []).append((b, w))
+        wadj.setdefault(b, []).append((a, w))
+    expected = _dijkstra(wadj, 0)
+    got = {r["vid"]: r["dist"] for r in sssp(spark, df, source=0).collect()}
+    assert got.keys() == expected.keys()
+    for v in expected:
+        assert abs(got[v] - expected[v]) < 1e-9
+
+
+def test_sssp_directed_and_negative_reject(spark):
+    from graphanalytics_spark.operators.sssp import sssp
+
+    df = spark.createDataFrame(
+        [(0, 1, 5.0), (1, 2, 1.0), (2, 0, 1.0)],
+        "src long, dst long, weight double",
+    )
+    got = {r["vid"]: r["dist"] for r in sssp(spark, df, 0, directed=True).collect()}
+    assert got == {0: 0.0, 1: 5.0, 2: 6.0}
+    neg = spark.createDataFrame(
+        [(0, 1, -1.0)], "src long, dst long, weight double"
+    )
+    with pytest.raises(ValueError):
+        sssp(spark, neg, 0)
+
+
 def test_hits_matches_numpy_replay(spark):
     from graphanalytics_spark.operators.hits import hits
 
