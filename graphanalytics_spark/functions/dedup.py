@@ -54,10 +54,23 @@ def exact_dedup(spark: SparkSession, docs: DataFrame, text_col: str = "text") ->
     )
 
 
+def tokens_expr(text_col):
+    """Whitespace tokens of RAW text as array<string>: normalize (trim,
+    collapse whitespace runs to one space) then split on the single
+    space — one regexp_replace instead of a backtracking
+    regexp_extract_all(\\S+) pass, identical token arrays (the empty
+    string, where split yields [''], is guarded)."""
+    norm = normalized_text(text_col)
+    return F.when(F.length(norm) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(norm, " ")
+    )
+
+
 def shingles_expr(text_col, n: int = 3):
     """Distinct word n-gram shingles as an array<string> column: tokens via
-    regexp extraction, shingle i = tokens[i..i+n-1] joined by space."""
-    toks = F.regexp_extract_all(normalized_text(text_col), F.lit(r"\S+"), 0)
+    whitespace split of normalized text, shingle i = tokens[i..i+n-1]
+    joined by space."""
+    toks = tokens_expr(text_col)
     idx = F.sequence(F.lit(0), F.size(toks) - n)
     sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
     # guard: fewer than n tokens → no shingles (Spark's sequence(0, neg)
@@ -68,8 +81,15 @@ def shingles_expr(text_col, n: int = 3):
 
 
 def shingle_table(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
-    """(doc_id, shingle) exploded distinct-shingle table."""
-    return docs.select(
+    """(doc_id, shingle) exploded distinct-shingle table.
+
+    The shingle build (tokenize + per-position slice/concat + distinct)
+    is the corpus pipelines' per-row hot spot, so an under-split input is
+    spread across the session's cores first (plans/spread.py — no-op on
+    well-split inputs)."""
+    from graphanalytics_spark.plans.spread import spread
+
+    return spread(docs, "doc_id").select(
         "doc_id", F.explode(shingles_expr(F.col(text_col), n)).alias("shingle")
     )
 
@@ -139,14 +159,21 @@ def _shingle_hash(shingle_col):
 
 
 def minhash_signatures(
-    docs: DataFrame, n: int = 3, num_perm: int = 16, text_col: str = "text"
+    docs: DataFrame,
+    n: int = 3,
+    num_perm: int = 16,
+    text_col: str = "text",
+    shingle_tbl: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, sig: array<long>[num_perm]) — sig[i] = min over shingles of
-    (a_i·h + b_i) mod M61 where h = md5-derived shingle hash."""
+    (a_i·h + b_i) mod M61 where h = md5-derived shingle hash.
+    ``shingle_tbl`` lets a caller that also needs the exploded
+    (doc_id, shingle) table (near_dup_verified) pass a materialized copy so
+    the shingle extraction runs once, not once per consumer."""
     assert num_perm <= len(_MINHASH_A)
-    st = shingle_table(docs, n, text_col).select(
-        "doc_id", _shingle_hash(F.col("shingle")).alias("h")
-    )
+    st = (
+        shingle_tbl if shingle_tbl is not None else shingle_table(docs, n, text_col)
+    ).select("doc_id", _shingle_hash(F.col("shingle")).alias("h"))
     mins = st.groupBy("doc_id").agg(
         *[
             F.min(
@@ -169,10 +196,13 @@ def minhash_lsh_pairs(
     bands: int = 4,
     text_col: str = "text",
     max_bucket_size: int | None = None,
+    shingle_tbl: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs (doc_a < doc_b) sharing at least one
     LSH band bucket (rows per band = num_perm // bands). Follow with
     ``ngram_jaccard_pairs`` on the candidates for exact filtering.
+    ``shingle_tbl``: optional pre-materialized (doc_id, shingle) table
+    (see minhash_signatures).
 
     ``max_bucket_size`` guards the quadratic bucket-local pair blowup: a
     bucket with B members emits B(B−1)/2 candidates, so one pathological
@@ -182,7 +212,7 @@ def minhash_lsh_pairs(
     belong to an exact-dedup pass, not pairwise verification. None (the
     default) disables the guard for exact oracle parity."""
     rows = num_perm // bands
-    sigs = minhash_signatures(docs, n, num_perm, text_col)
+    sigs = minhash_signatures(docs, n, num_perm, text_col, shingle_tbl)
     banded = sigs.select(
         "doc_id",
         F.explode(
@@ -226,11 +256,19 @@ def near_dup_verified(
     pairs → exact n-gram Jaccard verify ≥ threshold. Linear candidate
     generation + candidates-only quadratic verify — the shape measured in
     BENCH/FUZZY.md (100k docs in ~6 min where the direct pairwise join
-    extrapolates to ~15 h). Returns (doc_a, doc_b, jaccard)."""
+    extrapolates to ~15 h). Returns (doc_a, doc_b, jaccard).
+
+    The exploded (doc_id, shingle) table feeds THREE consumers (the
+    minhash signatures, and each side of the intersection join), so it is
+    materialized once with an eager localCheckpoint — shingle extraction
+    is the pipeline's per-row hot spot and recomputing it per consumer
+    tripled the scan work (guide §5: reuse > recompute when the
+    intermediate is the expensive part; blocks are executor-local and
+    reclaimed by the ContextCleaner when the result is dropped)."""
+    st = shingle_table(docs, n, text_col).localCheckpoint(eager=True)
     cand = minhash_lsh_pairs(
-        spark, docs, n, num_perm, bands, text_col, max_bucket_size
+        spark, docs, n, num_perm, bands, text_col, max_bucket_size, shingle_tbl=st
     )
-    st = shingle_table(docs, n, text_col)
     sizes = st.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = st.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = st.select(F.col("doc_id").alias("doc_b"), "shingle")
@@ -270,15 +308,15 @@ def simhash(
     string '%08x%08x' % (hi, lo).
     """
     assert bits == 64
+    from graphanalytics_spark.plans.spread import spread
+
     toks = F.explode(
-        F.array_distinct(
-            F.regexp_extract_all(normalized_text(F.col(text_col)), F.lit(r"\S+"), 0)
-        )
+        F.array_distinct(tokens_expr(F.col(text_col)))
     ).alias("tok")
     md5c = F.md5(F.col("tok"))
     h_lo = F.conv(F.substring(md5c, 1, 8), 16, 10).cast("long")
     h_hi = F.conv(F.substring(md5c, 9, 8), 16, 10).cast("long")
-    th = docs.select("doc_id", toks).select(
+    th = spread(docs, "doc_id").select("doc_id", toks).select(
         "doc_id", h_lo.alias("hlo"), h_hi.alias("hhi")
     )
 

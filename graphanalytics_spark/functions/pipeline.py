@@ -40,13 +40,22 @@ from graphanalytics_spark.functions.dedup import near_dup_verified, normalized_t
 def _annotate(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """One pass of per-document signals: (doc_id, text, lang_pred,
     quality). Shared by corpus_clean and corpus_clean_report so the
-    text-analysis scan runs once."""
-    lang_tbl = text.language_id(docs)
-    qual_tbl = text.quality_score(docs)
-    return (
-        docs.select("doc_id", text_col)
-        .join(lang_tbl, "doc_id")
-        .join(qual_tbl, "doc_id")
+    text-analysis scan runs once.
+
+    Both signals are pure column expressions over the same normalized
+    text, so they are fused into ONE projection — the previous
+    three-way self-join (docs ⋈ language_id ⋈ quality_score) scanned the
+    corpus three times and shuffled it twice for values computable
+    row-locally (guide §2.4: remove shuffles outright)."""
+    from graphanalytics_spark.functions.dedup import normalized_text as _norm
+    from graphanalytics_spark.plans.spread import spread
+
+    norm = _norm(F.col(text_col))
+    return spread(docs, "doc_id").select(
+        "doc_id",
+        text_col,
+        text.language_id_expr(norm).alias("lang_pred"),
+        text.quality_score_expr(norm).alias("quality"),
     )
 
 
@@ -78,6 +87,15 @@ def corpus_clean(
     hashed = kept.select("doc_id", text_col, "lang_pred", "quality", h)
     keepers = hashed.groupBy("_h").agg(F.min("doc_id").alias("doc_id"))
     kept = hashed.join(keepers, ["_h", "doc_id"]).drop("_h")
+
+    # The survivor table feeds the near-dup stage (which reads it from
+    # several plan branches) AND the final anti-join; without a
+    # materialization Catalyst re-derives the whole annotate+dedup
+    # subtree in each branch (measured: a 128-Exchange plan for the
+    # composed pipeline). One eager localCheckpoint caps the upstream
+    # work at a single pass (guide §3.3: materialize to truncate
+    # duplicated subtrees / planning blowup).
+    kept = kept.localCheckpoint(eager=True)
 
     # near-dup removal among survivors: larger id of each verified pair drops
     pairs = near_dup_verified(

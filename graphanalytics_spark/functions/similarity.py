@@ -206,7 +206,14 @@ def ann_band_buckets(
     sign patterns (SimHash for cosine), computed as pure column
     expressions in a single scan. This is the build side of the
     reference's population-load / match split
-    (/root/reference/cosinesim/include/cosinesim.hpp:412-418)."""
+    (/root/reference/cosinesim/include/cosinesim.hpp:412-418).
+
+    The per-vector hyperplane dot products are the expensive part, so an
+    under-split input is spread across the session's cores first
+    (plans/spread.py — no-op on well-split inputs)."""
+    from graphanalytics_spark.plans.spread import spread
+
+    embeddings = spread(embeddings, id_col)
     arr = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     entries = [
         F.struct(

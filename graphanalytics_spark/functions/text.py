@@ -23,8 +23,18 @@ _LANG_MARKERS = {
 
 
 def token_count_expr(text_col):
-    """Whitespace token count: number of \\S+ runs."""
-    return F.size(F.regexp_extract_all(text_col, F.lit(r"\S+"), 0))
+    """Whitespace token count: number of \\S+ runs.
+
+    Every call site passes whitespace-collapsed text (``normalized_text``:
+    trimmed, runs of whitespace → one space), so the count equals the
+    single-char split count — computed without the regex engine, which at
+    corpus scale is the difference between a memchr scan and a
+    backtracking-matcher pass per document (guide §1.2 'per-task work').
+    The empty string is the one divergence (split yields ['']) and is
+    guarded explicitly."""
+    return F.when(F.length(text_col) == 0, F.lit(0)).otherwise(
+        F.size(F.split(text_col, " "))
+    )
 
 
 def bpe_ish_token_count_expr(text_col):
@@ -43,6 +53,20 @@ def _count_occurrences(text_col, word: str):
     )
 
 
+def _count_marker_hits(text_col, words: list[str]):
+    """Total occurrences of any marker word, word-bounded — ONE
+    alternation regex pass instead of one regex pass per word.
+
+    Equals Σ_w _count_occurrences(w): marker words are distinct and both
+    sides of every match are anchored on \\b, so no occurrence is counted
+    twice and the alternation (with backtracking across the trailing \\b)
+    finds exactly the union of the per-word match sets. Cuts language_id
+    from 20 regex scans per document to 4 and quality_score's stopword
+    term from 5 to 1 (guide §1.2: per-task work after the plan shape)."""
+    pat = r"\b(?:" + "|".join(words) + r")\b"
+    return F.size(F.regexp_extract_all(text_col, F.lit(pat), 0))
+
+
 def token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-document token statistics: whitespace tokens, subword tokens,
     chars, mean word length."""
@@ -59,20 +83,21 @@ def token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Heuristic quality score in [0,1] from length / punctuation ratio /
-    stopword ratio — the standard cheap pre-filter for training corpora.
+def quality_score_expr(norm_col):
+    """Quality score as a pure column expression over NORMALIZED text, so
+    callers (corpus_clean's annotate pass) can fuse it with other signals
+    in one projection instead of a per-signal self-join.
 
     score = 0.4·len_ok + 0.3·(1 − punct_ratio clipped) + 0.3·stop_ratio_ok
     """
-    norm = normalized_text(F.col(text_col))
-    n_tok = token_count_expr(norm).cast("double")
-    n_punct = F.size(F.regexp_extract_all(norm, F.lit(r"[^\w\s]"), 0)).cast("double")
-    n_chars = F.length(norm).cast("double")
-    stop_hits = None
-    for w in _LANG_MARKERS["en"]:
-        c = _count_occurrences(norm, w).cast("double")
-        stop_hits = c if stop_hits is None else stop_hits + c
+    n_tok = token_count_expr(norm_col).cast("double")
+    n_punct = F.size(
+        F.regexp_extract_all(norm_col, F.lit(r"[^\w\s]"), 0)
+    ).cast("double")
+    n_chars = F.length(norm_col).cast("double")
+    # single alternation pass; numerically identical to the per-word sum
+    # (integer counts, summed exactly — see _count_marker_hits)
+    stop_hits = _count_marker_hits(norm_col, _LANG_MARKERS["en"]).cast("double")
     len_ok = F.when((n_tok >= 10) & (n_tok <= 100000), 1.0).otherwise(
         F.least(n_tok / 10.0, F.lit(1.0))
     )
@@ -83,41 +108,50 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
         + 0.3 * (1.0 - F.least(punct_ratio * 5.0, F.lit(1.0)))
         + 0.3 * F.least(stop_ratio * 10.0, F.lit(1.0))
     )
-    return docs.select("doc_id", F.round(score, 6).alias("quality"))
+    return F.round(score, 6)
+
+
+def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality score in [0,1] from length / punctuation ratio /
+    stopword ratio — the standard cheap pre-filter for training corpora."""
+    return docs.select(
+        "doc_id",
+        quality_score_expr(normalized_text(F.col(text_col))).alias("quality"),
+    )
+
+
+def language_id_expr(norm_col):
+    """Language prediction as a pure column expression over NORMALIZED
+    text (see quality_score_expr for the fusion rationale): argmax over
+    per-language marker hit counts; 'und' when all counts are 0.
+    Deterministic ties by language code order."""
+    scores = [
+        (lang, _count_marker_hits(norm_col, words))
+        for lang, words in sorted(_LANG_MARKERS.items())
+    ]
+    # array_max over structs of (hits, -idx, lang): highest hits wins,
+    # ties resolved toward the earlier language code
+    arr = F.array(
+        *[
+            F.struct(
+                hits.alias("hits"),
+                F.lit(-i).alias("neg_idx"),
+                F.lit(lang).alias("lang"),
+            )
+            for i, (lang, hits) in enumerate(scores)
+        ]
+    )
+    best = F.array_max(arr)
+    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
 
 
 def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Stopword-marker language heuristic: argmax over per-language marker
     hit counts; 'und' (undetermined) when all counts are 0. Deterministic
     ties by language code order."""
-    norm = normalized_text(F.col(text_col))
-    scores = []
-    for lang, words in sorted(_LANG_MARKERS.items()):
-        hits = None
-        for w in words:
-            c = _count_occurrences(norm, w)
-            hits = c if hits is None else hits + c
-        scores.append(F.struct(hits.alias("hits"), F.lit(lang).alias("lang")))
-    # max struct picks highest hits; ties → lexicographically larger lang,
-    # so negate via reverse alphabet trick is avoided by ordering input —
-    # instead use greatest of structs with (hits, neg index) … simpler:
-    # array_max over structs of (hits, -idx, lang)
-    arr = F.array(
-        *[
-            F.struct(
-                s["hits"].alias("hits"),
-                F.lit(-i).alias("neg_idx"),
-                s["lang"].alias("lang"),
-            )
-            for i, s in enumerate(scores)
-        ]
-    )
-    best = F.array_max(arr)
     return docs.select(
         "doc_id",
-        F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und")).alias(
-            "lang_pred"
-        ),
+        language_id_expr(normalized_text(F.col(text_col))).alias("lang_pred"),
     )
 
 
