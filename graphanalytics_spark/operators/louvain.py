@@ -68,14 +68,10 @@ def _one_phase(
         )
         .persist()
     )
-    two_m = (
-        sym.agg(F.sum("weight")).first()[0] or 0.0
-    ) + 2 * (
-        edges_canon.filter(F.col("src") == F.col("dst"))
-        .agg(F.sum("weight"))
-        .first()[0]
-        or 0.0
-    )
+    # 2m = twice the total weight (sym doubles non-self edges, self-loops
+    # count twice by convention) — ONE tiny aggregation on the canonical
+    # table instead of two driver actions (guide §1.2)
+    two_m = 2 * (edges_canon.agg(F.sum("weight")).first()[0] or 0.0)
     if two_m == 0:
         out = deg.select("vid", F.col("vid").alias("label"))
         out = out.localCheckpoint(eager=True)  # detach before unpersisting deps
@@ -92,11 +88,30 @@ def _one_phase(
     quiet = 0
     for rnd in range(1, max_rounds + 1):
         rounds = rnd
-        # neighbor-community incident weights w_{v,c}
+        # neighbor-community incident weights w_{v,c}, with a zero-weight
+        # row for every vertex's CURRENT community unioned in before the
+        # aggregation. That one union makes the stay baseline a plain
+        # per-group expression: the c==cur row's gain IS the grappolo stay
+        # gain (w_{v,cur} − wdeg·(tot_cur−wdeg)/2m, w_{v,cur}=0 when v has
+        # no intra-community neighbor — adding 0.0 to a finite sum moves
+        # nothing), so `best` and `stay` collapse into ONE aggregation
+        # where the previous shape ran three extra joins (own/stay/desire
+        # re-join against state+tot) and re-derived `cand` in two branches
+        # (guide §2.4/§3.3). The move set is provably unchanged: for the
+        # added rows gain==stay_gain, so they can never win the strict
+        # `> stay_gain` filter, and when one ties the struct-argmax it
+        # yields best_c==cur, which the second filter drops — exactly the
+        # cases the old shape also rejected.
         lab_dst = state.select(F.col("vid").alias("dst"), F.col("label").alias("c"))
+        incid = sym.join(lab_dst, "dst").select(
+            F.col("src").alias("vid"), "c", "weight"
+        )
+        own_zero = state.select(
+            "vid", F.col("label").alias("c"), F.lit(0.0).alias("weight")
+        )
         wvc = (
-            sym.join(lab_dst, "dst")
-            .groupBy(F.col("src").alias("vid"), "c")
+            incid.unionByName(own_zero)
+            .groupBy("vid", "c")
             .agg(F.sum("weight").alias("w_vc"))
         )
         # community totals Σ wdeg
@@ -121,40 +136,32 @@ def _one_phase(
                 F.col("w_vc") - F.col("wdeg") * F.col("tot_x") / F.lit(two_m),
             )
         )
-        # argmax with reference tie rules: higher gain, then smaller c
-        best = cand.groupBy("vid").agg(
-            F.max(F.struct(F.col("gain"), (-F.col("c")).alias("negc"))).alias("m")
-        ).select("vid", F.col("m.gain").alias("best_gain"), (-F.col("m.negc")).alias("best_c"))
-        # true stay baseline for EVERY vertex (not just those with a
-        # neighbor in their own community): w_{v,cur} − wdeg·(tot_cur−wdeg)/2m
-        # with w_{v,cur} = 0 when v has no intra-community neighbor — the
-        # grappolo rule evaluates staying with the same formula as moving
-        # (utilityClusteringFunctions.cpp:115-151); defaulting to −∞ made
-        # isolated-in-community vertices always desire a (possibly worse)
-        # move, allowing modularity-reducing oscillation.
-        own = cand.filter(F.col("c") == F.col("cur")).select(
-            "vid", F.col("w_vc").alias("w_cur")
+        # argmax with reference tie rules (higher gain, then smaller c)
+        # and the stay baseline from the same rows, one hash aggregation
+        summary = cand.groupBy("vid", "cur").agg(
+            F.max(F.struct(F.col("gain"), (-F.col("c")).alias("negc"))).alias("m"),
+            F.max(
+                F.when(F.col("c") == F.col("cur"), F.col("gain"))
+            ).alias("stay_gain"),
         )
-        stay = (
-            cur.join(tot.withColumnRenamed("label", "cur"), "cur")
-            .join(own, "vid", "left")
+        # vertices that WANT to move (positive gain over staying).
+        # Materialized eagerly: three plan branches consume it (both sides
+        # of the conflict join and the movers anti-join), and without the
+        # checkpoint each branch re-runs the whole gather/argmax subtree —
+        # measured 2.1-2.5 s/round recomputed vs 1.5-1.7 s materialized on
+        # the phase-1 bench ring (guide §3.3 duplicated subtrees; blocks
+        # reclaimed by the ContextCleaner).
+        desire = (
+            summary.filter(
+                (F.col("m.gain") > F.col("stay_gain"))
+                & ((-F.col("m.negc")) != F.col("cur"))
+            )
             .select(
                 "vid",
-                (
-                    F.coalesce("w_cur", F.lit(0.0))
-                    - F.col("wdeg") * (F.col("tot") - F.col("wdeg")) / F.lit(two_m)
-                ).alias("stay_gain"),
+                (-F.col("m.negc")).alias("best_c"),
+                F.xxhash64("vid", F.lit(seed + rnd)).alias("pr"),
             )
-        )
-        # vertices that WANT to move (positive gain over staying)
-        desire = (
-            best.join(stay, "vid")
-            .join(state.select("vid", F.col("label").alias("cur")), "vid")
-            .filter(
-                (F.col("best_gain") > F.col("stay_gain"))
-                & (F.col("best_c") != F.col("cur"))
-            )
-            .select("vid", "best_c", F.xxhash64("vid", F.lit(seed + rnd)).alias("pr"))
+            .localCheckpoint(eager=True)
         )
         # conflict-free move set: of two ADJACENT desiring vertices only the
         # one with the smaller per-round hash priority moves — the Spark
@@ -254,7 +261,12 @@ def louvain(
         )
         return compose_through(v2c, comm, "community")
 
-    truncator = LineageTruncator(spark, hard_every=2)
+    # hard parquet reset every 4 truncations (was 2): the desire-set
+    # checkpoint above keeps the per-round lazy chains short, so the more
+    # frequent hard resets only added parquet round-trips (measured
+    # ~1.3 s/round at hard_every=4 vs ~1.5-1.7 s at 2 on the bench ring,
+    # with no planning-time growth over the 8-round phase cap)
+    truncator = LineageTruncator(spark, hard_every=4)
     g = edges_canon
     mapping = None  # original vid -> current community id space of g
     best_mapping = _identity_labels(edges_canon).select(
@@ -298,16 +310,23 @@ def louvain(
             edges_canon,
             mapping.select("vid", F.col("community").alias("label")),
         )
-        nv = None
+        nv = ne = None
         if metrics is not None or min_graph_size > 0:
-            nv = g.select("src").union(g.select("dst")).distinct().count()
+            # one action for (NV, NE): distinct endpoints and row count
+            # from the same exploded pass (previously two jobs)
+            r = (
+                g.select(F.explode(F.array("src", "dst")).alias("v"))
+                .agg(F.countDistinct("v").alias("nv"), F.count("*").alias("n2"))
+                .first()
+            )
+            nv, ne = int(r["nv"]), int(r["n2"]) // 2
         if metrics is not None:
             metrics.append(
                 {
                     "phase": phase,
                     "Q": q,
                     "n_vertices": nv,
-                    "n_edges": g.count(),
+                    "n_edges": ne,
                     "rounds": rounds,
                     "wall_s": time.monotonic() - t0,
                 }

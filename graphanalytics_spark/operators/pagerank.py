@@ -43,7 +43,6 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from graphanalytics_spark.graph import vertices as _vertices
 from graphanalytics_spark.plans.truncate import LineageTruncator
 
 
@@ -79,11 +78,15 @@ def _prepare_links(edges: DataFrame, partitions: int | None):
     partitioned on src once and persisted for the whole run — every
     iteration's gather join then reuses this partitioning and only the
     vertex-state side is exchanged. Defaults to the session's shuffle
-    parallelism when the caller does not size it."""
-    out = edges.groupBy("src").agg(F.sum("weight").alias("wdeg"))
-    links = edges.join(out, "src").select(
-        "src", "dst", (F.col("weight") / F.col("wdeg")).alias("frac")
-    )
+    parallelism when the caller does not size it.
+
+    One exchange of E total: the edge table is hash-partitioned on src
+    FIRST, so the wdeg aggregation reuses that partitioning (no exchange)
+    and the edges⋈wdeg join is co-partitioned (no exchange). The previous
+    shape (groupBy shuffle → join → explicit repartition) exchanged E
+    twice (guide §2.4: two operations keyed the same way share one
+    exchange). frac is an exact integer ratio for count-weighted graphs,
+    so the aggregation order change cannot move any value."""
     if partitions is None:
         try:
             partitions = int(
@@ -91,8 +94,13 @@ def _prepare_links(edges: DataFrame, partitions: int | None):
             )
         except (TypeError, ValueError):
             partitions = edges.sparkSession.sparkContext.defaultParallelism
+    e = edges.select("src", "dst", "weight")
     if partitions:
-        links = links.repartition(partitions, "src")
+        e = e.repartition(partitions, "src")
+    out = e.groupBy("src").agg(F.sum("weight").alias("wdeg"))
+    links = e.join(out, "src").select(
+        "src", "dst", (F.col("weight") / F.col("wdeg")).alias("frac")
+    )
     return links.persist()
 
 
@@ -133,22 +141,32 @@ def pagerank(
     truncator = LineageTruncator(spark, hard_every=checkpoint_every or 4)
     check_every = max(1, check_every)
 
-    verts = _vertices(edges)
-    # dangling flag is static per vertex: no out-edges
-    outs = edges.select("src").distinct()
-    verts = verts.join(outs, verts.vid == outs.src, "left").select(
-        "vid", F.col("src").isNull().alias("dangling")
+    # vertex set + static dangling flag (no out-edges) in ONE aggregation:
+    # the previous shape (union-distinct + distinct + join) cost two
+    # distinct shuffles and a join for the same table (guide §2.4)
+    verts = (
+        edges.select(F.col("src").alias("vid"), F.lit(1).alias("o"))
+        .unionAll(edges.select(F.col("dst").alias("vid"), F.lit(0).alias("o")))
+        .groupBy("vid")
+        .agg((F.max("o") == 0).alias("dangling"))
+        .persist()
     )
     cnt = verts.agg(
         F.count("*").alias("n"),
         F.sum(F.col("dangling").cast("int")).alias("nd"),
     ).first()
     n, has_dangling = int(cnt["n"]), bool(cnt["nd"])
+    # a graph with no dangling vertices (every symmetrized graph) needs
+    # neither the flag column nor the dangling-mass scalar: narrower
+    # checkpointed state rows, one less branch per iteration
+    state_cols = ["vid", "rank"] + (["dangling"] if has_dangling else [])
 
     if initial_state is not None:
-        state = initial_state.join(verts, "vid").select("vid", "rank", "dangling")
+        state = initial_state.join(verts, "vid").select(*state_cols)
     else:
-        state = verts.select("vid", F.lit(1.0 / n).alias("rank"), "dangling")
+        state = verts.select("vid", F.lit(1.0 / n).alias("rank"), "dangling").select(
+            *state_cols
+        )
     init_state = state = state.persist()
 
     base = (1.0 - damping) / n
@@ -174,17 +192,22 @@ def pagerank(
         new_rank_expr = F.lit(base) + F.lit(damping) * (
             F.coalesce(F.col("gathered"), F.lit(0.0)) + dm_term
         )
-        new_state = joined.select(
+        check_now = tol > 0 and (it % check_every == 0 or it == max_iter)
+        out_cols = [
             "vid",
             new_rank_expr.alias("rank"),
-            "dangling",
-            F.abs(new_rank_expr - F.col("rank")).alias("delta"),
-        )
+            *(["dangling"] if has_dangling else []),
+        ]
+        if tol > 0:
+            # fixed-iteration runs (tol=0) never read delta — skip the
+            # column so the checkpointed state stays minimal
+            out_cols.append(F.abs(new_rank_expr - F.col("rank")).alias("delta"))
+        new_state = joined.select(*out_cols)
         # per-iteration lineage truncation (see plans/truncate.py)
         new_state = truncator.truncate(new_state, it, stream="state")
-        if tol > 0 and (it % check_every == 0 or it == max_iter):
+        if check_now:
             delta = float(new_state.agg(F.max("delta")).first()[0])
-        state = new_state.drop("delta")
+        state = new_state.drop("delta") if tol > 0 else new_state
         if metrics is not None:
             metrics.add(it, delta, n_links, time.monotonic() - t0)
         if checkpointer is not None:
@@ -192,6 +215,7 @@ def pagerank(
         if delta < tol:
             break
     init_state.unpersist()
+    verts.unpersist()
     links.unpersist()
     return state.select("vid", "rank")
 
@@ -241,10 +265,12 @@ def pagerank_csr(
     truncator = LineageTruncator(spark, hard_every=checkpoint_every or 4)
     check_every = max(1, check_every)
 
-    verts = _vertices(edges)
-    outs = edges.select("src").distinct()
-    verts = verts.join(outs, verts.vid == outs.src, "left").select(
-        "vid", F.col("src").isNull().alias("dangling")
+    # fused vertex-set + dangling-flag aggregation (see pagerank)
+    verts = (
+        edges.select(F.col("src").alias("vid"), F.lit(1).alias("o"))
+        .unionAll(edges.select(F.col("dst").alias("vid"), F.lit(0).alias("o")))
+        .groupBy("vid")
+        .agg((F.max("o") == 0).alias("dangling"))
     )
     cnt = verts.agg(
         F.count("*").alias("n"),
@@ -388,10 +414,12 @@ def personalized_pagerank(
     truncator = LineageTruncator(spark, hard_every=checkpoint_every or 4)
     check_every = max(1, check_every)
 
-    verts = _vertices(edges)
-    outs = edges.select("src").distinct()
-    verts = verts.join(outs, verts.vid == outs.src, "left").select(
-        "vid", F.col("src").isNull().alias("dangling")
+    # fused vertex-set + dangling-flag aggregation (see pagerank)
+    verts = (
+        edges.select(F.col("src").alias("vid"), F.lit(1).alias("o"))
+        .unionAll(edges.select(F.col("dst").alias("vid"), F.lit(0).alias("o")))
+        .groupBy("vid")
+        .agg((F.max("o") == 0).alias("dangling"))
     )
     has_dangling = bool(verts.filter("dangling").limit(1).count())
     s = seeds.select(F.col(seeds.columns[0]).alias("vid")).distinct()
