@@ -50,6 +50,10 @@ def _triangles(edges_canon: DataFrame) -> DataFrame:
     # no point at which it could unpersist a cache entry. Checkpoint blocks
     # are RDD-scoped and reclaimed by the ContextCleaner when the result is
     # dropped; a CacheManager entry would leak until session end.
+    # (AQE used to coalesce the oriented table to 6 partitions by its
+    # bytes while the wedge join expands it ~40x — the session-level
+    # coalescePartitions.minPartitionSize floor keeps such compute-bound
+    # stages at full parallelism, see session.py.)
     a = _oriented(edges_canon).localCheckpoint(eager=True)
     e1 = a.select(F.col("a").alias("u"), F.col("b").alias("v"))
     e2 = a.select(F.col("a").alias("v"), F.col("b").alias("w"))

@@ -71,6 +71,14 @@ def get_spark(
         .config("spark.default.parallelism", str(n))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE sizes post-shuffle partitions by their BYTES (min 1 MB by
+        # default), but several operators expand a small shuffled table by
+        # orders of magnitude downstream (wedge enumeration: 19 MB of
+        # oriented edges → 49M wedge rows ran on 6 of 32 cores). A lower
+        # floor keeps compute-bound stages at the session parallelism;
+        # coalescing is still bounded above by shuffle.partitions, so on a
+        # cluster this cannot create more partitions than cores.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
@@ -78,6 +86,17 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Join strategy (optimization guide §9/§3.1): let the planner pick
+        # shuffled-hash over sort-merge when a side fits per-partition
+        # memory, and let AQE convert SMJ→SHJ at runtime below the local
+        # map threshold — removes the per-iteration sorts in the
+        # co-partitioned state/links joins of the iterative operators.
+        # Both knobs are size-gated, so they stay safe at cluster scale.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            str(128 * 1024 * 1024),
+        )
     )
     # shuffle/spill scratch: prefer tmpfs when the host has one WITH
     # headroom (gated by tmpfs_dir_if_roomy — local-mode shuffle is
