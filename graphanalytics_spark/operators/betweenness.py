@@ -29,6 +29,8 @@ its nHop frontier machinery (/root/reference/L2/nHop) like bfs.py.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from graphanalytics_spark.graph import symmetrize
@@ -57,6 +59,18 @@ def betweenness(
     lv = bfs_levels_tagged(spark, edges_canon, seed_df, max_depth=max_depth)
     lv = lv.localCheckpoint(eager=True)
     max_l = lv.agg(F.max("level")).first()[0]
+    if max_l is not None and max_l >= max_depth:
+        # the tagged BFS ran into the depth cap: vertices farther than
+        # max_depth from some pivot never entered the σ/δ sweeps, so the
+        # result may silently under-count (r5 ADVICE #2) — no extra job,
+        # max_l is already materialized
+        warnings.warn(
+            f"betweenness reached max_depth={max_depth}: pivots with "
+            "eccentricity beyond the cap are truncated and the returned "
+            "scores may under-count. Raise max_depth for exact results.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     if max_l is None or max_l == 0:
         sym.unpersist()
         return spark.createDataFrame([], "vid long, betweenness double")

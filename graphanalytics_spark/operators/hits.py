@@ -38,14 +38,22 @@ def hits(
     """Fixed-iteration HITS over a directed weighted edge table.
     Returns DataFrame(vid, authority, hub), both rounded to 9 decimals,
     L2-normalized (Σ authority² = Σ hub² = 1 up to rounding)."""
+    if iterations < 1:
+        raise ValueError("hits needs iterations >= 1")
     links = edges.select("src", "dst", "weight").persist()
+    # persisted: the vertex set is read by all 2·iterations half-step
+    # left-joins — unpersisted it re-ran the distinct-over-E aggregation
+    # every half-step (~10 redundant jobs per default run)
     verts = (
         links.select(F.col("src").alias("vid"))
         .union(links.select(F.col("dst").alias("vid")))
         .distinct()
+        .persist()
     )
     truncator = LineageTruncator(spark, hard_every=checkpoint_every or 4)
-    h = verts.select("vid", F.lit(1.0).alias("score")).persist()
+    # initial scores are a constant projection over the cached vertex set:
+    # no persist of their own (the old per-call cache was never released)
+    h = verts.select("vid", F.lit(1.0).alias("score"))
     a = None
     for it in range(1, iterations + 1):
         a = _half_step(links, verts, h, gather_on="src", emit="dst")
@@ -57,8 +65,8 @@ def hits(
         .join(h.select("vid", F.round("score", 9).alias("hub")), "vid")
     )
     res = out.localCheckpoint(eager=True)
-    res.count()
     links.unpersist()
+    verts.unpersist()
     return res
 
 

@@ -29,6 +29,8 @@ counts or reciprocal affinities).
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from graphanalytics_spark.graph import symmetrize
@@ -91,5 +93,16 @@ def sssp(
         if n_improved == 0:
             break
         frontier = improved
+    else:
+        # the loop exhausted max_rounds with relaxations still improving:
+        # distances are an overestimate (same loud-truncation contract as
+        # kcore/ktruss — r5 ADVICE #1)
+        warnings.warn(
+            f"sssp stopped at max_rounds={max_rounds} before the relaxation "
+            "fixed point: returned distances are UPPER BOUNDS, not exact "
+            "shortest distances. Raise max_rounds.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     adj.unpersist()
     return state

@@ -508,3 +508,68 @@ def test_hyperball_matches_exact_on_small_graph(spark):
     assert got[-1] == 20.0
     assert all(b >= a for a, b in zip(got, got[1:]))
     assert effective_diameter(curve) == 2  # 0.9*20 = 18, first reached at t=2
+
+
+def test_ktruss_mid_id_hub_matches_bruteforce(spark):
+    """r6 optimization gate: the peel now runs in (degree, id)-oriented
+    space (bounded wedge fan-out on hubs — the former src<dst
+    id-orientation was quadratic on a mid-id mega-hub). The re-orientation
+    must not move a single output row: plant a MID-id hub (its id sits
+    between its neighbors' ids, the worst case for id-orientation) over a
+    triangle mesh and compare against the pure-python peel."""
+    from graphanalytics_spark.operators.ktruss import ktruss
+
+    hub = 50
+    spokes = [(hub, i) for i in range(40)] + [(hub, 60 + i) for i in range(40)]
+    mesh = [(100 + a, 100 + b) for a in range(8) for b in range(a + 1, 8)]
+    glue = [(0, 100), (1, 100), (0, 1)]  # one triangle touching the hub side
+    pairs = {(min(a, b), max(a, b)) for a, b in spokes + mesh + glue}
+    df = spark.createDataFrame(
+        [(a, b, 1.0) for a, b in sorted(pairs)],
+        "src long, dst long, weight double",
+    )
+    for k in (3, 4):
+        expected = _truss_peel(pairs, k)
+        got = {
+            (r["src"], r["dst"]): r["support"]
+            for r in ktruss(spark, df, k=k).collect()
+        }
+        assert got == expected
+
+
+def test_hits_rejects_zero_iterations(spark):
+    from graphanalytics_spark.operators.hits import hits
+
+    df = spark.createDataFrame([(0, 1, 1.0)], "src long, dst long, weight double")
+    with pytest.raises(ValueError, match="iterations"):
+        hits(spark, df, iterations=0)
+
+
+def test_sssp_warns_on_max_rounds_truncation(spark):
+    """ADVICE r5 #1: exhausting max_rounds before the relaxation fixed
+    point must warn loudly (distances are upper bounds), mirroring the
+    kcore/ktruss truncation contract."""
+    from graphanalytics_spark.operators.sssp import sssp
+
+    path = [(i, i + 1, 1.0) for i in range(6)]
+    df = spark.createDataFrame(path, "src long, dst long, weight double")
+    with pytest.warns(RuntimeWarning, match="max_rounds"):
+        sssp(spark, df, source=0, max_rounds=2)
+    # and a converged run must NOT warn
+    import warnings as _w
+
+    with _w.catch_warnings():
+        _w.simplefilter("error", RuntimeWarning)
+        got = {r["vid"]: r["dist"] for r in sssp(spark, df, source=0).collect()}
+    assert got[6] == 6.0
+
+
+def test_betweenness_warns_on_depth_truncation(spark):
+    """ADVICE r5 #2: a BFS that runs into max_depth must warn that the
+    sweeps may under-count."""
+    from graphanalytics_spark.operators.betweenness import betweenness
+
+    path = [(i, i + 1, 1.0) for i in range(8)]
+    df = spark.createDataFrame(path, "src long, dst long, weight double")
+    with pytest.warns(RuntimeWarning, match="max_depth"):
+        betweenness(spark, df, seeds=[0], max_depth=3)
