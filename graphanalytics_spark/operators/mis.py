@@ -97,11 +97,12 @@ def maximal_independent_set(
         new_active = truncator.truncate(
             active.join(dead, "vid", "left_anti"), it, stream="active"
         )
-        remaining = new_active.count()
+        # no per-round count of the surviving set (one driver action per
+        # round saved — guide §1.2): an emptied active set just makes the
+        # next round's winner count 0, which breaks the loop; the lazy
+        # truncation finalizes with that round's first action
         active.unpersist()
         active = new_active
-        if remaining == 0:
-            break
     sym.unpersist()
     if not selected_parts:
         return spark.createDataFrame([], "vid long")
