@@ -203,15 +203,16 @@ def pagerank(
             # column so the checkpointed state stays minimal
             out_cols.append(F.abs(new_rank_expr - F.col("rank")).alias("delta"))
         new_state = joined.select(*out_cols)
-        # lineage truncation every SECOND iteration (plans/truncate.py):
-        # under AQE even a lazy localCheckpoint executes the plan's
-        # exchange stages eagerly, so truncating every iteration cost one
-        # sequential job chain per iteration. Skipping the odd iterations
-        # fuses two gather/merge rounds into one job (A/B on the 20-iter
-        # sf0.1 row: ~19s → ~13s); deeper batching regresses (plan
-        # re-derivation outweighs the saved scheduling rounds).
-        if it % 2 == 0 or it == max_iter or check_now:
-            new_state = truncator.truncate(new_state, it, stream="state")
+        # per-iteration lineage truncation (see plans/truncate.py).
+        # NOTE (r6): batching the truncation 2 iterations per checkpoint
+        # was A/B'd — it wins ~30% at sf0.1 (scheduling-bound) but the
+        # un-truncated odd state is referenced twice by the next
+        # iteration (gather + merge), so at the ×24 scale row the even
+        # iterations re-executed the odd gather over 57M edges
+        # (measured 10-30 s/even-iteration vs a 1.7 s steady state) —
+        # a 4× regression where work dominates. Per-iteration
+        # truncation is the scale-safe choice.
+        new_state = truncator.truncate(new_state, it, stream="state")
         if check_now:
             delta = float(new_state.agg(F.max("delta")).first()[0])
         state = new_state.drop("delta") if tol > 0 else new_state
