@@ -79,7 +79,7 @@ def _one_phase(
         deg.unpersist()
         return out, 0
 
-    truncator = truncator or LineageTruncator(spark, hard_every=4)
+    truncator = truncator or LineageTruncator(spark, hard_every=8)
     state = truncator.truncate(
         deg.select("vid", F.col("vid").alias("label"), "wdeg"), 0
     )
@@ -261,12 +261,17 @@ def louvain(
         )
         return compose_through(v2c, comm, "community")
 
-    # hard parquet reset every 4 truncations (was 2): the desire-set
-    # checkpoint above keeps the per-round lazy chains short, so the more
-    # frequent hard resets only added parquet round-trips (measured
-    # ~1.3 s/round at hard_every=4 vs ~1.5-1.7 s at 2 on the bench ring,
-    # with no planning-time growth over the 8-round phase cap)
-    truncator = LineageTruncator(spark, hard_every=4)
+    # hard parquet reset every 8 truncations (was 2, then 4): the
+    # desire-set checkpoint above keeps the per-round lazy chains short,
+    # so frequent hard resets only add parquet round-trips (measured
+    # ~1.3 s/round at hard_every=4 vs ~1.5-1.7 s at 2; an order-balanced
+    # 4-vs-8 A/B on the bench ring then had 8 faster in every pair,
+    # medians 29.8 → 28.9 s, identical best_q). Chains stay ≤ 7 lazy
+    # localCheckpoints — the pagerank cadence sweep showed degradation
+    # starts near chain length ~9 and is severe by ~19, so 8 keeps
+    # headroom; at cluster scale fewer V-sized parquet round-trips is
+    # also strictly less I/O.
+    truncator = LineageTruncator(spark, hard_every=8)
     g = edges_canon
     mapping = None  # original vid -> current community id space of g
     best_mapping = _identity_labels(edges_canon).select(
