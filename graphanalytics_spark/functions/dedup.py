@@ -458,13 +458,16 @@ def embedding_near_dup(
     r = b.select(
         F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"), "band", "bucket"
     )
+    # score before the pair dedup (see similarity.knn_join_lsh): duplicate
+    # (id_a, id_b) rows from different shared bands carry identical va/vb,
+    # hence identical rounded sim, so deduping the slim scored rows is
+    # result-identical and replaces the Sort + SortAggregate over full
+    # vector payloads with a hash aggregate
+    sim = F.round(cosine_sim_col(F.col("va"), F.col("vb")), 8)
     pairs = (
         l.join(r, ["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "va", "vb")
+        .select("id_a", "id_b", sim.alias("sim"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    sim = F.round(cosine_sim_col(F.col("va"), F.col("vb")), 8)
-    return pairs.select("id_a", "id_b", sim.alias("sim")).filter(
-        F.col("sim") >= threshold
-    )
+    return pairs.filter(F.col("sim") >= threshold)

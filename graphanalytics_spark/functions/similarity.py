@@ -302,7 +302,11 @@ def ann_probe(
     for band, bucket in tb:
         c = (F.col("band") == band) & (F.col("bucket") == bucket)
         cond = c if cond is None else (cond | c)
-    cand = idx.filter(cond).dropDuplicates(["vec_id"])
+    # distinct over (vec_id, embedding) instead of dropDuplicates(vec_id):
+    # the index replicates the same embedding per band, so the row sets
+    # are identical, but distinct has no first()-over-array agg buffer and
+    # plans as a hash aggregate instead of Sort + SortAggregate
+    cand = idx.filter(cond).select("vec_id", "embedding").distinct()
     return cosine_topk(spark, cand, target, k, "embedding", "vec_id")
 
 
@@ -573,12 +577,20 @@ def knn_join_lsh(
     pairs = lb.join(rb, ["band", "bucket"]).select("lid", "lv", "rid", "rv")
     if exclude_self:
         pairs = pairs.filter(F.col("lid") != F.col("rid"))
-    pairs = pairs.dropDuplicates(["lid", "rid"])
+    # Score BEFORE the pair dedup: dedup on rows still carrying both
+    # embedding arrays plans as Sort + SortAggregate (first() over array
+    # types has no mutable agg buffer), sorting every candidate pair's
+    # full vector payload. A duplicate (lid, rid) — the same pair from
+    # another shared band — carries the identical lv/rv, hence the
+    # identical rounded sim, so scoring first and deduping the slim
+    # (long, long, double) rows is result-identical and turns the dedup
+    # into a hash aggregate; the ≤ n_bands extra dot products per pair
+    # are cheap codegen (guide §2.3: shuffle/sort metadata, not payloads).
     scored = pairs.select(
         "lid",
         "rid",
         F.round(cosine_sim_col(F.col("lv"), F.col("rv")), 8).alias("sim"),
-    )
+    ).dropDuplicates(["lid", "rid"])
     w = Window.partitionBy("lid").orderBy(F.desc("sim"), F.asc("rid"))
     return (
         scored.withColumn("rn", F.row_number().over(w))
