@@ -447,9 +447,19 @@ def similar_vertices(
         )
     weighted = metric == "weighted_cosine"
     sym = symmetrize(edges_canon)
+    # The adjacency feeds FOUR plan branches (the degree aggregation and,
+    # via the cap semi-join, both sides of the common-neighbor self-join),
+    # and the degree table three more (the cap filter + both denominator
+    # joins). Without materialization Catalyst re-derives the entire
+    # upstream — at the warehouse-derived queries that is the full edge
+    # derivation — once per branch: measured 91 Exchanges / 592 plan
+    # lines with zero ReusedExchange (alias renames defeat exchange
+    # reuse). Two eager localCheckpoints cap the upstream at one pass
+    # (same duplicated-subtree fix as corpus_clean, guide §3.3; blocks
+    # reclaimed by the ContextCleaner).
     adj = sym.select(
         F.col("src").alias("vid"), F.col("dst").alias("nbr"), "weight"
-    )
+    ).localCheckpoint(eager=True)
     # degree/norm table over the UNCAPPED adjacency — denominators exact.
     # For integer edge weights (co-occurrence counts) the Σw² partial sums
     # are exact integers in double, so the result is shuffle-order
@@ -458,7 +468,7 @@ def similar_vertices(
     aggs = [F.count("*").alias("deg")]
     if weighted:
         aggs.append(F.sum(F.col("weight") * F.col("weight")).alias("sq"))
-    deg = adj.groupBy("vid").agg(*aggs)
+    deg = adj.groupBy("vid").agg(*aggs).localCheckpoint(eager=True)
     join_adj = adj
     if max_degree is not None:
         keep = (
