@@ -108,9 +108,11 @@ def degree_assortativity(edges_sym: DataFrame) -> DataFrame:
     strongly negative on hub-and-spoke link graphs — with
     ``degree_histogram`` this is the skew diagnostic pair that chooses
     salting/AQE settings before a 100 TB run."""
+    # both endpoint joins read the degree table; materialized once (V
+    # rows) so the E-sized aggregation behind it runs one pass, not two
     deg = edges_sym.groupBy(F.col("src").alias("vid")).agg(
         F.count("*").alias("deg")
-    )
+    ).localCheckpoint(eager=True)
     dec = "decimal(38,0)"
     ends = (
         edges_sym.select("src", "dst")
@@ -170,7 +172,11 @@ def isolate_vertices(edges: DataFrame, removed: DataFrame) -> DataFrame:
     """Remove a vertex set from the graph (``GraphCSR::isolateVertex``
     analog, /root/reference/mis/include/xilinxmis.hpp:86-106): anti-join on
     both endpoints."""
-    r = removed.select(F.col(removed.columns[0]).alias("vid"))
+    # both anti-join branches read the removed set; materialized once so
+    # a removed-set derived from a degree scan computes one pass, not two
+    r = removed.select(F.col(removed.columns[0]).alias("vid")).localCheckpoint(
+        eager=True
+    )
     return edges.join(r, edges.src == r.vid, "left_anti").join(
         r, edges.dst == r.vid, "left_anti"
     )
@@ -196,9 +202,11 @@ def vertex_following(edges_canon: DataFrame) -> DataFrame:
     stays, matching the reference's sequential scan order (the earlier
     vertex claims the later one)."""
     sym = symmetrize(edges_canon)
+    # read twice (self-join on only_neighbor); materialized once so the
+    # E-sized degree aggregation runs one pass, not two
     deg = sym.groupBy(F.col("src").alias("vid")).agg(
         F.count("*").alias("degree"), F.min("dst").alias("only_neighbor")
-    )
+    ).localCheckpoint(eager=True)
     nbr_deg = deg.select(
         F.col("vid").alias("only_neighbor"), F.col("degree").alias("nbr_degree")
     )
